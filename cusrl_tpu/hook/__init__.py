@@ -1,0 +1,16 @@
+from cusrl_tpu.hook.control.initialization import ModuleInitialization
+from cusrl_tpu.hook.mdp.observation import ObservationNanToNum, ObservationNormalization
+from cusrl_tpu.hook.mdp.reward import RewardShaping
+from cusrl_tpu.hook.on_policy.advantage import AdvantageNormalization, AdvantageReduction
+from cusrl_tpu.hook.on_policy.buffer_schedule import OnPolicyBufferCapacitySchedule
+from cusrl_tpu.hook.on_policy.common import OnPolicyPreparation
+from cusrl_tpu.hook.on_policy.gae import GeneralizedAdvantageEstimation
+from cusrl_tpu.hook.on_policy.gradient_clipping import GradientClipping
+from cusrl_tpu.hook.on_policy.lr_schedule import (
+    AdaptiveLRSchedule,
+    MiniBatchWiseLRSchedule,
+    ThresholdLRSchedule,
+)
+from cusrl_tpu.hook.on_policy.ppo import EntropyLoss, PpoSurrogateLoss
+from cusrl_tpu.hook.on_policy.stats import OnPolicyStatistics
+from cusrl_tpu.hook.on_policy.value import ValueComputation, ValueLoss

@@ -1,0 +1,30 @@
+"""Rollout-length schedule (counterpart of cusrl/hook/on_policy/buffer_schedule.py:10-31).
+
+Resizing the buffer changes the jitted update's [T] dimension — a recompile —
+so schedules should change capacity rarely (e.g. a few times over training).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from cusrl_tpu.nn.base import static_field
+from cusrl_tpu.template.hook import Hook
+
+__all__ = ["OnPolicyBufferCapacitySchedule"]
+
+
+class OnPolicyBufferCapacitySchedule(Hook):
+    schedule: Callable[[int], int] = static_field(default=None)
+    training_only: bool = static_field(default=True, kw_only=True)
+
+    _agent: object = static_field(default=None, kw_only=True)
+
+    def init(self, agent, key):
+        return self.replace(_agent=agent)
+
+    def apply_schedule(self, iteration: int):
+        capacity = int(self.schedule(iteration))
+        self._agent.num_steps_per_update = capacity
+        self._agent.resize_buffer(capacity)
+        return self

@@ -1,0 +1,125 @@
+"""Value computation and value loss hooks (counterpart of
+cusrl/hook/on_policy/value.py:14-145).
+
+TPU-native deviation: the reference bootstraps truncated states by evaluating the
+critic only at truncated rows (data-dependent shapes).  Here, when truncation
+bootstrapping is enabled, the critic runs ONE fully-batched pass over the whole
+``next_state`` rollout ``[T*N]`` — static shapes, MXU-efficient — and results are
+selected with masks.  Without truncation bootstrapping only the final row is
+evaluated.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cusrl_tpu.nn.base import Memory, frozen_field, mutable_field, static_field
+from cusrl_tpu.template.hook import Hook
+from cusrl_tpu.utils.dict_utils import get_first
+
+__all__ = ["ValueComputation", "ValueLoss"]
+
+
+class ValueComputation(Hook):
+    """Runs the critic during rollout; fills ``next_value`` before the update."""
+
+    termination_value: float = mutable_field(default=0.0)
+    memory: Memory = frozen_field(default=None)
+    bootstrap_truncated_states: bool = static_field(default=True)
+
+    def init(self, agent, key):
+        hook = self
+        if agent.environment_spec.final_state_is_missing:
+            hook = hook.replace(bootstrap_truncated_states=False)
+        if agent.critic.is_recurrent:
+            hook = hook.replace(memory=agent.critic.init_memory(agent.parallelism))
+        return hook
+
+    def post_act(self, state, transition):
+        critic = state.critic
+        observation = get_first(transition, "state", "observation")
+        value, next_memory, _ = critic(observation, self.memory)
+        transition["value"] = value
+        if self.memory is not None:
+            transition["critic_memory"] = self.memory
+            transition["next_critic_memory"] = next_memory
+        return self.replace(memory=next_memory), transition
+
+    def post_step(self, state, transition):
+        if self.memory is None:
+            return self, transition
+        from cusrl_tpu.nn.base import reset_memory
+
+        return self.replace(memory=reset_memory(self.memory, transition["done"])), transition
+
+    def pre_update(self, state, rollout):
+        critic = state.critic
+        value = rollout["value"]  # [T, N, Dr]
+        next_state = get_first(rollout, "next_state", "next_observation")
+        terminated = rollout["terminated"]  # [T, N, 1] bool
+        truncated = rollout["truncated"]
+
+        def eval_batched(states, memory):
+            # Single-step critic over a [T, N, ...] stack folded into one batch.
+            t, n = states.shape[:2]
+            flat = states.reshape(t * n, *states.shape[2:])
+            flat_memory = None if memory is None else jax.tree.map(
+                lambda m: m.reshape(t * n, *m.shape[2:]), memory
+            )
+            v, _, _ = critic(flat, flat_memory)
+            return v.reshape(t, n, -1)
+
+        next_memory = rollout.get("next_critic_memory")
+        if self.bootstrap_truncated_states:
+            bootstrap = eval_batched(next_state, next_memory)
+        else:
+            last_memory = None if next_memory is None else jax.tree.map(lambda m: m[-1], next_memory)
+            last_value, _, _ = critic(next_state[-1], last_memory)
+            bootstrap = None
+
+        # next_value[t] = value[t + 1]; last row bootstrapped from next_state.
+        if bootstrap is None:
+            next_value = jnp.concatenate([value[1:], last_value[None]], axis=0)
+        else:
+            next_value = jnp.concatenate([value[1:], bootstrap[-1:]], axis=0)
+            next_value = jnp.where(truncated, bootstrap, next_value)
+        if not self.bootstrap_truncated_states:
+            next_value = jnp.where(truncated, value, next_value)
+        next_value = jnp.where(terminated, jnp.asarray(self.termination_value, next_value.dtype), next_value)
+
+        rollout = {**rollout, "next_value": next_value}
+        return self, rollout, {}
+
+
+def _clipped_value_loss(value, curr_value, returns, loss_clip):
+    clipped = value + jnp.clip(curr_value - value, -loss_clip, loss_clip)
+    return jnp.maximum(jnp.square(curr_value - returns), jnp.square(clipped - returns)).mean()
+
+
+class ValueLoss(Hook):
+    """MSE or PPO-clipped value regression toward computed returns."""
+
+    weight: float = mutable_field(default=0.5)
+    loss_clip: float | None = static_field(default=None)
+    training_only: bool = static_field(default=True, kw_only=True)
+
+    def objective(self, state, metadata, batch):
+        critic = state.critic
+        observation = get_first(batch, "state", "observation")
+        memory = batch.get("critic_memory")
+        if metadata.get("temporal") and memory is not None:
+            memory = jax.tree.map(lambda m: m[0], memory)
+        curr_value, _, _ = critic(
+            observation, memory, sequential=metadata.get("temporal", False), done=batch.get("done")
+        )
+        batch["curr_value"] = curr_value
+
+        value = batch["value"]
+        returns = batch["return"]
+        if self.loss_clip is None:
+            loss = jnp.square(curr_value - returns).mean()
+        else:
+            loss = _clipped_value_loss(value, curr_value, returns, self.loss_clip)
+        metrics = {"value": jax.lax.stop_gradient(curr_value.sum(-1).mean())}
+        return self, batch, {"value_loss": loss * self.weight}, metrics

@@ -1,0 +1,34 @@
+from cusrl_tpu.nn.base import (
+    Memory,
+    Module,
+    ModuleFactory,
+    combine,
+    frozen_field,
+    partition,
+    reset_memory,
+    static_field,
+    trainable_mask,
+    tree_paths,
+)
+from cusrl_tpu.nn.layer.bijector import (
+    Bijector,
+    ExponentialBijector,
+    IdentityBijector,
+    SigmoidBijector,
+    SoftplusBijector,
+    make_bijector,
+)
+from cusrl_tpu.nn.layer.linear import ACTIVATIONS, Linear, get_activation
+from cusrl_tpu.nn.layer.rms import RunningMeanStd
+from cusrl_tpu.nn.module.actor import Actor, ActorFactory
+from cusrl_tpu.nn.module.critic import Value, ValueFactory
+from cusrl_tpu.nn.module.distribution import (
+    AdaptiveNormalDist,
+    AdaptiveNormalDistFactory,
+    Distribution,
+    NormalDist,
+    NormalDistFactory,
+    OneHotCategoricalDist,
+    OneHotCategoricalDistFactory,
+)
+from cusrl_tpu.nn.module.mlp import Mlp, MlpFactory

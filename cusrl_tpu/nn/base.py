@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "Memory",
     "Module",
+    "ModuleFactory",
     "combine",
     "field",
     "frozen_field",
@@ -65,6 +67,12 @@ def frozen_field(**kwargs):
     metadata = dict(kwargs.pop("metadata", {}))
     metadata["frozen"] = True
     return dataclasses.field(metadata=metadata, **kwargs)
+
+
+# Runtime-adjustable non-trainable scalars (hook weights, clip ratios, schedule
+# state).  Identical to frozen_field; the alias documents intent — the functional
+# analogue of the reference's ``register_mutable`` (cusrl/template/hook.py:113-141).
+mutable_field = frozen_field
 
 
 class Module:
@@ -101,6 +109,20 @@ class Module:
 
     def __call__(self, x, memory: Memory = None, *, sequential: bool = False, **kwargs):
         raise NotImplementedError
+
+
+class ModuleFactory:
+    """Base for module factory dataclasses (cusrl/nn/module/module.py Factory
+    contract): config-only, called with ``(input_dim, output_dim, key)`` to build
+    an initialized Module pytree.  Factories are plain dataclasses (NOT pytrees)
+    so they serialize to experiment metadata via utils.dict_utils."""
+
+    def __call__(self, input_dim: int, output_dim: int | None, key: Any) -> "Module":
+        raise NotImplementedError
+
+    @property
+    def is_recurrent(self) -> bool:
+        return False
 
 
 def reset_memory(memory: Memory, done) -> Memory:

@@ -1,0 +1,70 @@
+"""MLP backbone (counterpart of cusrl/nn/module/mlp.py:31-93).
+
+The workhorse policy/value backbone.  Hidden matmuls run in the configured compute
+dtype (bfloat16 by default on TPU — MXU-friendly); the final layer's output is
+returned in the compute dtype and heads (distribution / value) cast up to float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+
+from cusrl_tpu.nn.base import Memory, Module, ModuleFactory, static_field
+from cusrl_tpu.nn.layer.linear import Linear, get_activation
+
+__all__ = ["Mlp", "MlpFactory"]
+
+
+class Mlp(Module):
+    layers: tuple[Linear, ...]
+    activation: str = static_field(default="elu")
+    ends_with_activation: bool = static_field(default=False)
+    input_dim: int = static_field(default=0)
+    output_dim: int = static_field(default=0)
+
+    @property
+    def activation_fn(self) -> Callable:
+        return get_activation(self.activation)
+
+    def __call__(self, x: jax.Array, memory: Memory = None, *, sequential: bool = False, **kwargs):
+        act = self.activation_fn
+        for index, layer in enumerate(self.layers):
+            x = layer(x)
+            if index < len(self.layers) - 1 or self.ends_with_activation:
+                x = act(x)
+        return x, memory, {}
+
+
+@dataclasses.dataclass
+class MlpFactory(ModuleFactory):
+    """Builds an Mlp; hidden layers use ``compute_dtype``, mirroring the reference
+    factory's tunables (hidden_dims, activation, trailing activation)."""
+
+    hidden_dims: tuple[int, ...] = (256, 256)
+    activation: str = "elu"
+    ends_with_activation: bool = True
+    bias: bool = True
+    compute_dtype: str | None = "default"
+
+    def __call__(self, input_dim: int, output_dim: int | None, key: jax.Array) -> Mlp:
+        from cusrl_tpu.utils.config import CONFIG
+
+        compute_dtype = CONFIG.compute_dtype if self.compute_dtype == "default" else self.compute_dtype
+        dims = [input_dim, *self.hidden_dims]
+        if output_dim is not None:
+            dims.append(output_dim)
+        keys = jax.random.split(key, len(dims) - 1)
+        layers = tuple(
+            Linear.init(k, dims[i], dims[i + 1], bias=self.bias, compute_dtype=compute_dtype)
+            for i, k in enumerate(keys)
+        )
+        return Mlp(
+            layers=layers,
+            activation=self.activation,
+            ends_with_activation=self.ends_with_activation,
+            input_dim=input_dim,
+            output_dim=dims[-1],
+        )

@@ -1,0 +1,180 @@
+"""PPO presets (counterpart of cusrl/preset/ppo.py:19-298).
+
+``ppo_hook_suite`` defines the canonical hook pipeline ordering; the flat-kwarg
+agent factories lower to the underlying ``ActorCriticFactory``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+from cusrl_tpu.hook.control.initialization import ModuleInitialization
+from cusrl_tpu.hook.mdp.observation import ObservationNormalization
+from cusrl_tpu.hook.on_policy.advantage import AdvantageNormalization
+from cusrl_tpu.hook.on_policy.common import OnPolicyPreparation
+from cusrl_tpu.hook.on_policy.gae import GeneralizedAdvantageEstimation
+from cusrl_tpu.hook.on_policy.gradient_clipping import GradientClipping
+from cusrl_tpu.hook.on_policy.lr_schedule import AdaptiveLRSchedule
+from cusrl_tpu.hook.on_policy.ppo import EntropyLoss, PpoSurrogateLoss
+from cusrl_tpu.hook.on_policy.stats import OnPolicyStatistics
+from cusrl_tpu.hook.on_policy.value import ValueComputation, ValueLoss
+from cusrl_tpu.nn.module.actor import ActorFactory
+from cusrl_tpu.nn.module.critic import ValueFactory
+from cusrl_tpu.nn.module.distribution import NormalDistFactory, OneHotCategoricalDistFactory
+from cusrl_tpu.nn.module.mlp import MlpFactory
+from cusrl_tpu.preset.optimizer import AdamFactory
+from cusrl_tpu.sampler.mini_batch_sampler import AutoMiniBatchSampler
+from cusrl_tpu.template.actor_critic import ActorCriticFactory
+from cusrl_tpu.template.agent import AgentFactory
+from cusrl_tpu.template.environment import EnvironmentSpec
+from cusrl_tpu.template.hook import Hook
+
+__all__ = ["PpoAgentFactory", "RecurrentPpoAgentFactory", "ppo_hook_suite"]
+
+
+def ppo_hook_suite(
+    orthogonal_init: bool = True,
+    normalize_observation: bool = False,
+    gae_gamma: float = 0.99,
+    gae_lamda: float = 0.95,
+    gae_lamda_value: float | None = None,
+    normalize_advantage: bool = True,
+    value_loss_weight: float = 0.5,
+    value_loss_clip: float | None = None,
+    surrogate_clip_ratio: float = 0.2,
+    surrogate_loss_weight: float = 1.0,
+    entropy_loss_weight: float = 0.01,
+    max_grad_norm: float | None = 1.0,
+    grad_clip_groups: dict[str, float] | None = None,
+    desired_kl_divergence: float | None = None,
+    max_kl_divergence: float | None = None,
+) -> list[Hook]:
+    hooks: list[Hook | None] = [
+        ModuleInitialization(init_actor=orthogonal_init, init_critic=orthogonal_init),
+        ObservationNormalization() if normalize_observation else None,
+        ValueComputation(),
+        GeneralizedAdvantageEstimation(gamma=gae_gamma, lamda=gae_lamda, lamda_value=gae_lamda_value),
+        AdvantageNormalization() if normalize_advantage else None,
+        ValueLoss(weight=value_loss_weight, loss_clip=value_loss_clip),
+        OnPolicyPreparation(),
+        PpoSurrogateLoss(clip_ratio=surrogate_clip_ratio, weight=surrogate_loss_weight),
+        EntropyLoss(weight=entropy_loss_weight),
+        GradientClipping.create(max_grad_norm, grad_clip_groups),
+        OnPolicyStatistics(),
+        (
+            AdaptiveLRSchedule(desired_kl_divergence, max_kl_divergence=max_kl_divergence)
+            if desired_kl_divergence is not None
+            else None
+        ),
+    ]
+    return [hook for hook in hooks if hook is not None]
+
+
+def get_distribution_factory(action_space_type: str, **kwargs):
+    if action_space_type == "continuous":
+        return NormalDistFactory(**kwargs)
+    if action_space_type == "discrete":
+        return OneHotCategoricalDistFactory()
+    raise ValueError(f"Unsupported action space type '{action_space_type}'")
+
+
+@dataclasses.dataclass(kw_only=True)
+class PpoAgentFactory(AgentFactory):
+    """Flat-kwarg PPO config lowering to ActorCriticFactory (preset/ppo.py:77-298)."""
+
+    num_steps_per_update: int = 24
+    actor_hidden_dims: Sequence[int] = (256, 128)
+    critic_hidden_dims: Sequence[int] = (256, 128)
+    activation_fn: str = "relu"
+    action_space_type: str = "continuous"
+    lr: float = 2e-4
+    sampler_epochs: int = 5
+    sampler_mini_batches: int = 4
+    orthogonal_init: bool = True
+    init_distribution_std: float | None = None
+    normalize_observation: bool = False
+    gae_gamma: float = 0.99
+    gae_lamda: float = 0.95
+    gae_lamda_value: float | None = None
+    normalize_advantage: bool = True
+    value_loss_weight: float = 0.5
+    value_loss_clip: float | None = None
+    surrogate_clip_ratio: float = 0.2
+    surrogate_loss_weight: float = 1.0
+    entropy_loss_weight: float = 0.01
+    max_grad_norm: float | None = 1.0
+    grad_clip_groups: dict[str, float] = dataclasses.field(default_factory=dict)
+    desired_kl_divergence: float | None = None
+    max_kl_divergence: float | None = None
+
+    def _backbone_factory(self, hidden_dims) -> MlpFactory:
+        return MlpFactory(hidden_dims=tuple(hidden_dims), activation=self.activation_fn, ends_with_activation=True)
+
+    def _hooks(self) -> list[Hook]:
+        return ppo_hook_suite(
+            orthogonal_init=self.orthogonal_init,
+            normalize_observation=self.normalize_observation,
+            gae_gamma=self.gae_gamma,
+            gae_lamda=self.gae_lamda,
+            gae_lamda_value=self.gae_lamda_value,
+            normalize_advantage=self.normalize_advantage,
+            value_loss_weight=self.value_loss_weight,
+            value_loss_clip=self.value_loss_clip,
+            surrogate_clip_ratio=self.surrogate_clip_ratio,
+            surrogate_loss_weight=self.surrogate_loss_weight,
+            entropy_loss_weight=self.entropy_loss_weight,
+            max_grad_norm=self.max_grad_norm,
+            grad_clip_groups=self.grad_clip_groups,
+            desired_kl_divergence=self.desired_kl_divergence,
+            max_kl_divergence=self.max_kl_divergence,
+        )
+
+    def to_underlying(self) -> ActorCriticFactory:
+        return ActorCriticFactory(
+            num_steps_per_update=self.num_steps_per_update,
+            actor_factory=ActorFactory(
+                backbone_factory=self._backbone_factory(self.actor_hidden_dims),
+                distribution_factory=get_distribution_factory(
+                    self.action_space_type, init_std=self.init_distribution_std
+                ),
+            ),
+            critic_factory=ValueFactory(backbone_factory=self._backbone_factory(self.critic_hidden_dims)),
+            optimizer_factory=AdamFactory(lr=self.lr),
+            sampler=AutoMiniBatchSampler(num_epochs=self.sampler_epochs, num_mini_batches=self.sampler_mini_batches),
+            hooks=self._hooks(),
+            name=self.name,
+        )
+
+    def __call__(self, environment_spec: EnvironmentSpec):
+        return self.to_underlying()(environment_spec)
+
+
+@dataclasses.dataclass(kw_only=True)
+class RecurrentPpoAgentFactory(PpoAgentFactory):
+    """PPO with recurrent (GRU/LSTM) backbones and temporal sampling."""
+
+    rnn_type: str = "gru"
+    rnn_hidden_size: int = 256
+    rnn_num_layers: int = 1
+    mlp_hidden_dims: Sequence[int] = (256,)
+
+    def _backbone_factory(self, hidden_dims):
+        from cusrl_tpu.nn.module.rnn import RnnFactory
+        from cusrl_tpu.nn.module.sequential import SequentialFactory
+
+        rnn = RnnFactory(
+            cell=self.rnn_type, hidden_size=self.rnn_hidden_size, num_layers=self.rnn_num_layers
+        )
+        if not self.mlp_hidden_dims:
+            return rnn
+        return SequentialFactory(
+            factories=(
+                rnn,
+                MlpFactory(
+                    hidden_dims=tuple(self.mlp_hidden_dims),
+                    activation=self.activation_fn,
+                    ends_with_activation=True,
+                ),
+            )
+        )

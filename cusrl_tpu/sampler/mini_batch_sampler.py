@@ -1,0 +1,106 @@
+"""Mini-batch samplers (counterpart of cusrl/sampler/mini_batch_sampler.py:12-140).
+
+TPU-native design: a sampler produces an *index plan* — static metadata plus
+stacked per-batch index arrays — that the agent's jitted update consumes with a
+single ``lax.scan``; gathering happens on device with zero host round-trips.
+
+``MiniBatchSampler``        shuffled transitions over the flattened ``[T*N]`` axis.
+``TemporalMiniBatchSampler`` shuffled whole sequences (columns ``[:, idx]``) for BPTT.
+``AutoMiniBatchSampler``     dispatches on whether any rollout key ends in "memory".
+
+Deviation from the reference: per-epoch varying mini-batch counts (a sequence for
+``num_mini_batches``) are not supported — XLA wants one static batch shape; the
+remainder ``total % num_mini_batches`` transitions are dropped per epoch (the
+reference drops them too when the division is uneven).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["AutoMiniBatchSampler", "MiniBatchSampler", "TemporalMiniBatchSampler"]
+
+
+@dataclasses.dataclass
+class MiniBatchSampler:
+    num_epochs: int = 1
+    num_mini_batches: int = 1
+    shuffle: bool = True
+
+    def __post_init__(self):
+        if self.num_epochs <= 0:
+            raise ValueError("'num_epochs' must be positive")
+        if self.num_mini_batches <= 0:
+            raise ValueError("'num_mini_batches' must be positive")
+
+    # -- plan ------------------------------------------------------------------
+
+    def _num_samples(self, capacity: int, parallelism: int) -> int:
+        return capacity * parallelism
+
+    def _temporal(self) -> bool:
+        return False
+
+    def make_plan(self, key: jax.Array, capacity: int, parallelism: int, rollout: dict):
+        num_samples = self._num_samples(capacity, parallelism)
+        if self.num_mini_batches > num_samples:
+            raise ValueError(f"'num_mini_batches' ({self.num_mini_batches}) exceeds sample count ({num_samples})")
+        batch_size = num_samples // self.num_mini_batches
+
+        def epoch_indices(epoch_key):
+            if self.shuffle:
+                perm = jax.random.permutation(epoch_key, num_samples)
+            else:
+                perm = jnp.arange(num_samples)
+            return perm[: self.num_mini_batches * batch_size].reshape(self.num_mini_batches, batch_size)
+
+        keys = jax.random.split(key, self.num_epochs)
+        indices = jnp.concatenate([epoch_indices(k) for k in keys], axis=0)  # [E*M, B]
+        epoch_index = jnp.repeat(jnp.arange(self.num_epochs), self.num_mini_batches)
+        mini_batch_index = jnp.tile(jnp.arange(self.num_mini_batches), self.num_epochs)
+        static_meta = {
+            "total_epochs": self.num_epochs,
+            "total_mini_batches": self.num_mini_batches,
+            "temporal": self._temporal(),
+        }
+        meta_arrays = {"epoch_index": epoch_index, "mini_batch_index": mini_batch_index}
+        return static_meta, meta_arrays, indices
+
+    # -- gather ----------------------------------------------------------------
+
+    def gather(self, rollout: dict, idx: jax.Array) -> dict:
+        return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[idx], rollout)
+
+
+@dataclasses.dataclass
+class TemporalMiniBatchSampler(MiniBatchSampler):
+    def _num_samples(self, capacity: int, parallelism: int) -> int:
+        return parallelism
+
+    def _temporal(self) -> bool:
+        return True
+
+    def gather(self, rollout: dict, idx: jax.Array) -> dict:
+        return jax.tree.map(lambda x: x[:, idx], rollout)
+
+
+@dataclasses.dataclass
+class AutoMiniBatchSampler(MiniBatchSampler):
+    """Temporal iff the rollout carries recurrent memory (a trace-time fact)."""
+
+    def _resolve(self, rollout: dict) -> MiniBatchSampler:
+        from cusrl_tpu.utils.nest import flatten_nested
+
+        is_temporal = any(key.split(".")[0].endswith("memory") for key in flatten_nested(rollout))
+        cls = TemporalMiniBatchSampler if is_temporal else MiniBatchSampler
+        return cls(self.num_epochs, self.num_mini_batches, self.shuffle)
+
+    def make_plan(self, key, capacity, parallelism, rollout):
+        self._resolved = self._resolve(rollout)
+        return self._resolved.make_plan(key, capacity, parallelism, rollout)
+
+    def gather(self, rollout, idx):
+        return self._resolved.gather(rollout, idx)

@@ -1,0 +1,244 @@
+"""Hook system (counterpart of cusrl/template/hook.py:21-485), functional edition.
+
+A hook IS a pytree (Module subclass): static config in ``static_field``s, trainable
+modules / running statistics / mutable scalars as data fields.  Lifecycle callbacks
+are *pure*: they take the current :class:`AgentState` plus the payload and return
+``(new_self, payload...)`` — the composite fold threads updated hooks back into the
+state, so the ENTIRE hook pipeline stays inside ``jit`` / ``lax.scan``.
+
+Mapping from the reference's mutation-based API:
+
+===============================  ==================================================
+reference                         here
+===============================  ==================================================
+``register_module``               a data field holding a Module pytree
+``register_stateful``             a ``frozen_field`` (travels in state, no grads)
+``register_mutable``              a data field holding a 0-d array — schedules
+                                  overwrite the value, no recompilation
+``hook.agent``                    the ``state`` argument of each callback
+``transition``/``batch`` dicts    passed and returned (immutably updated)
+``agent.record(...)``             returned metrics dicts, merged by the caller
+===============================  ==================================================
+
+Lifecycle (mirrors cusrl/template/hook.py:219-356):
+host-side: ``init``, ``apply_schedule``, ``should_update``, ``pre_export``/``post_export``
+traced:    ``pre_act``, ``post_act``, ``post_step``, ``pre_update``, ``objective``,
+           ``pre_optim``, ``post_update``
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Any
+
+import jax
+
+from cusrl_tpu.nn.base import Module, static_field
+
+if TYPE_CHECKING:
+    from cusrl_tpu.template.actor_critic import ActorCritic, AgentState
+
+__all__ = ["Hook", "HookComposite", "camel_to_snake"]
+
+
+def camel_to_snake(name: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+class Hook(Module):
+    """Base hook. Subclasses add config/static fields and override callbacks."""
+
+    name: str | None = static_field(default=None, kw_only=True)
+    active: bool = static_field(default=True, kw_only=True)
+    training_only: bool = static_field(default=False, kw_only=True)
+
+    @property
+    def hook_name(self) -> str:
+        return self.name or camel_to_snake(type(self).__name__)
+
+    def named(self, name: str) -> "Hook":
+        return self.replace(name=name)
+
+    def with_active(self, active: bool) -> "Hook":
+        return self.replace(active=active)
+
+    # -- host-side lifecycle ---------------------------------------------------
+
+    def init(self, agent: "ActorCritic", key: jax.Array) -> "Hook":
+        """Builds the hook's modules/statistics; returns the initialized hook."""
+        return self
+
+    def post_init(self, agent: "ActorCritic") -> "Hook":
+        return self
+
+    def apply_schedule(self, iteration: int) -> "Hook":
+        return self
+
+    def should_update(self, agent: "ActorCritic") -> bool:
+        return True
+
+    def update_attribute(self, name: str, value: Any) -> "Hook":
+        """Schedule entry point: overwrite a (mutable) field by name."""
+        import jax.numpy as jnp
+
+        current = getattr(self, name)
+        if hasattr(current, "dtype"):
+            value = jnp.asarray(value, current.dtype)
+        return self.replace(**{name: value})
+
+    def pre_export(self, agent: "ActorCritic", graph) -> None:
+        pass
+
+    def post_export(self, agent: "ActorCritic", graph) -> None:
+        pass
+
+    # -- traced lifecycle (all pure) -------------------------------------------
+
+    def pre_act(self, state: "AgentState", transition: dict):
+        return self, transition
+
+    def post_act(self, state: "AgentState", transition: dict):
+        return self, transition
+
+    def post_step(self, state: "AgentState", transition: dict):
+        return self, transition
+
+    def pre_update(self, state: "AgentState", rollout: dict):
+        """rollout: the buffer's nested data dict of [T, N, ...] arrays.
+        Returns (self, rollout, metrics)."""
+        return self, rollout, {}
+
+    def objective(self, state: "AgentState", metadata: dict, batch: dict):
+        """Returns (self, batch, objectives: dict[str, scalar] | None, metrics)."""
+        return self, batch, None, {}
+
+    def pre_optim(self, state: "AgentState", grads):
+        """Gradient-space callback (clipping, LR overrides).
+        Returns (self, state, grads, metrics); MUST NOT modify state.hooks."""
+        return self, state, grads, {}
+
+    def post_objective(self, state: "AgentState", metadata: dict, batch: dict):
+        """After the optimizer step for a batch (nested-optimization stage point).
+        Returns (self, state, metrics); MUST NOT modify state.hooks."""
+        return self, state, {}
+
+    def post_update(self, state: "AgentState", rollout: dict, snapshot):
+        """After the optimization epochs. ``snapshot`` holds the pre-update
+        (actor, critic, hooks) for KL-based update rejection.
+        Returns (self, state, metrics); MUST NOT modify state.hooks."""
+        return self, state, {}
+
+
+def _merge_metrics(dst: dict, src: dict) -> dict:
+    for key, value in src.items():
+        dst[key] = value
+    return dst
+
+
+class HookComposite:
+    """Stateless fold of hook callbacks over an AgentState's hook tuple.
+
+    Unlike the reference's HookComposite (itself a Hook owning sub-hooks), this
+    is a *driver*: the hooks live in ``state.hooks`` so they are part of the
+    differentiated/optimized pytree; the composite only orchestrates.
+    """
+
+    def __init__(self, inference_mode: bool = False):
+        self.inference_mode = inference_mode
+
+    def _active(self, hook: Hook) -> bool:
+        return hook.active and not (self.inference_mode and hook.training_only)
+
+    # Each fold returns (new_state, payload...) with updated hooks threaded in.
+
+    def pre_act(self, state: "AgentState", transition: dict):
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            hooks[i], transition = hook.pre_act(state.replace(hooks=tuple(hooks)), transition)
+        return state.replace(hooks=tuple(hooks)), transition
+
+    def post_act(self, state: "AgentState", transition: dict):
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            hooks[i], transition = hook.post_act(state.replace(hooks=tuple(hooks)), transition)
+        return state.replace(hooks=tuple(hooks)), transition
+
+    def post_step(self, state: "AgentState", transition: dict):
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            hooks[i], transition = hook.post_step(state.replace(hooks=tuple(hooks)), transition)
+        return state.replace(hooks=tuple(hooks)), transition
+
+    def pre_update(self, state: "AgentState", rollout: dict):
+        metrics: dict = {}
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            hooks[i], rollout, m = hook.pre_update(state.replace(hooks=tuple(hooks)), rollout)
+            _merge_metrics(metrics, m)
+        return state.replace(hooks=tuple(hooks)), rollout, metrics
+
+    def objective(self, state: "AgentState", metadata: dict, batch: dict):
+        """Returns (state, batch, objectives, metrics)."""
+        objectives: dict = {}
+        metrics: dict = {}
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            hooks[i], batch, obj, m = hook.objective(state.replace(hooks=tuple(hooks)), metadata, batch)
+            if obj:
+                for key in obj:
+                    if key in objectives:
+                        raise RuntimeError(f"Duplicate objective '{key}'")
+                objectives.update(obj)
+            _merge_metrics(metrics, m)
+        return state.replace(hooks=tuple(hooks)), batch, objectives, metrics
+
+    def pre_optim(self, state: "AgentState", grads):
+        metrics: dict = {}
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            current = state.replace(hooks=tuple(hooks))
+            hooks[i], state, grads, m = hook.pre_optim(current, grads)
+            _merge_metrics(metrics, m)
+        return state.replace(hooks=tuple(hooks)), grads, metrics
+
+    def post_objective(self, state: "AgentState", metadata: dict, batch: dict):
+        metrics: dict = {}
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            current = state.replace(hooks=tuple(hooks))
+            hooks[i], state, m = hook.post_objective(current, metadata, batch)
+            _merge_metrics(metrics, m)
+        return state.replace(hooks=tuple(hooks)), metrics
+
+    def post_update(self, state: "AgentState", rollout: dict, snapshot):
+        metrics: dict = {}
+        hooks = list(state.hooks)
+        for i, hook in enumerate(hooks):
+            if not self._active(hook):
+                continue
+            current = state.replace(hooks=tuple(hooks))
+            hooks[i], new_state, m = hook.post_update(current, rollout, snapshot)
+            state = new_state
+            _merge_metrics(metrics, m)
+        return state.replace(hooks=tuple(hooks)), metrics
+
+
+def find_hook(hooks: tuple[Hook, ...], name: str) -> tuple[int, Hook]:
+    for index, hook in enumerate(hooks):
+        if hook.hook_name == name:
+            return index, hook
+    raise KeyError(f"No hook named '{name}'")
