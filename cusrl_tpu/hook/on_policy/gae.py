@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from cusrl_tpu.nn.base import mutable_field, static_field
-from cusrl_tpu.template.hook import Hook
+from cusrl_tpu.template.hook import Hook, validate_concrete
 
 __all__ = ["GeneralizedAdvantageEstimation", "generalized_advantage_estimation"]
 
@@ -45,6 +45,13 @@ class GeneralizedAdvantageEstimation(Hook):
     lamda_value: float | None = mutable_field(default=None)
     recompute: bool = static_field(default=False)
     training_only: bool = static_field(default=True, kw_only=True)
+
+    def __post_init__(self):
+        validate_concrete(lambda g: 0 <= g < 1, self.gamma, f"'gamma' must be in [0, 1); got {self.gamma}")
+        validate_concrete(lambda l: 0 <= l <= 1, self.lamda, f"'lamda' must be in [0, 1]; got {self.lamda}")
+        validate_concrete(
+            lambda l: 0 <= l <= 1, self.lamda_value, f"'lamda_value' must be in [0, 1]; got {self.lamda_value}"
+        )
 
     def _compute(self, data: dict) -> dict:
         advantage = generalized_advantage_estimation(

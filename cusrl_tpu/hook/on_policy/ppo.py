@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cusrl_tpu.nn.base import mutable_field, static_field
-from cusrl_tpu.template.hook import Hook
+from cusrl_tpu.template.hook import Hook, validate_concrete
 
 __all__ = ["EntropyLoss", "PpoSurrogateLoss"]
 
@@ -22,6 +22,10 @@ class PpoSurrogateLoss(Hook):
     weight: float = mutable_field(default=1.0)
     training_only: bool = static_field(default=True, kw_only=True)
 
+    def __post_init__(self):
+        validate_concrete(lambda c: c > 0, self.clip_ratio, "'clip_ratio' must be positive")
+        validate_concrete(lambda w: w >= 0, self.weight, "'weight' must be non-negative")
+
     def objective(self, state, metadata, batch):
         advantage = batch["advantage"]
         if advantage.shape[-1] != 1:
@@ -33,6 +37,9 @@ class PpoSurrogateLoss(Hook):
 class EntropyLoss(Hook):
     weight: float = mutable_field(default=0.01)
     training_only: bool = static_field(default=True, kw_only=True)
+
+    def __post_init__(self):
+        validate_concrete(lambda w: w >= 0, self.weight, "'weight' must be non-negative")
 
     def objective(self, state, metadata, batch):
         loss = -batch["curr_entropy"].mean()

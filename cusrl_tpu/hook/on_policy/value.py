@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from cusrl_tpu.nn.base import Memory, frozen_field, mutable_field, static_field
-from cusrl_tpu.template.hook import Hook
+from cusrl_tpu.template.hook import Hook, validate_concrete
 from cusrl_tpu.utils.dict_utils import get_first
 
 __all__ = ["ValueComputation", "ValueLoss"]
@@ -103,6 +103,10 @@ class ValueLoss(Hook):
     weight: float = mutable_field(default=0.5)
     loss_clip: float | None = static_field(default=None)
     training_only: bool = static_field(default=True, kw_only=True)
+
+    def __post_init__(self):
+        validate_concrete(lambda w: w > 0, self.weight, "'weight' must be positive")
+        validate_concrete(lambda c: c > 0, self.loss_clip, "'loss_clip' must be positive or None")
 
     def objective(self, state, metadata, batch):
         critic = state.critic

@@ -389,11 +389,13 @@ class ActorCritic(Agent):
                 restored[path] = leaf
                 continue
             value = np.asarray(saved[path])
-            if tuple(value.shape) != tuple(leaf.shape):
-                self.warn(f"Shape mismatch for '{path}': ckpt {value.shape} vs model {leaf.shape}; skipped.")
+            leaf_np = np.asarray(leaf)
+            if tuple(value.shape) != tuple(leaf_np.shape):
+                self.warn(f"Shape mismatch for '{path}': ckpt {value.shape} vs model {leaf_np.shape}; skipped.")
                 restored[path] = leaf
                 continue
-            restored[path] = jnp.asarray(value, leaf.dtype)
+            dtype = np.float32 if leaf_np.dtype == np.float64 else leaf_np.dtype
+            restored[path] = jnp.asarray(value, dtype)
         if unused:
             self.warn(f"Unused checkpoint keys: {sorted(unused)[:8]}{'...' if len(unused) > 8 else ''}")
         treedef = jax.tree.structure(self.state)

@@ -45,6 +45,15 @@ def camel_to_snake(name: str) -> str:
     return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
 
 
+def validate_concrete(condition_fn, value, message: str) -> None:
+    """Raises ValueError when a *concrete numeric* config value violates a
+    constraint.  Skipped for anything else: pytree unflattening re-invokes
+    dataclass constructors with tracers, None partitions, and bool mask trees,
+    where value-dependent checks are meaningless."""
+    if isinstance(value, (int, float)) and not isinstance(value, bool) and not condition_fn(value):
+        raise ValueError(message)
+
+
 class Hook(Module):
     """Base hook. Subclasses add config/static fields and override callbacks."""
 
