@@ -32,6 +32,13 @@ from cusrl_tpu.template import (
     EnvironmentSpec,
     Hook,
     JaxEnvironment,
+    Logger,
+    LoggerFactory,
+    Player,
+    ScanRolloutDriver,
+    Trainer,
+    Trial,
+    make_logger_factory,
 )
 from cusrl_tpu.utils import CONFIG, Metrics, Rate, Timer, set_global_seed
 

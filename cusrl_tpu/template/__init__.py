@@ -17,3 +17,8 @@ from cusrl_tpu.template.optimizer import (
     SgdFactory,
     build_optimizer,
 )
+from cusrl_tpu.template.logger import Logger, LoggerFactory, make_logger_factory
+from cusrl_tpu.template.player import Player, PlayerHook
+from cusrl_tpu.template.rollout import ScanRolloutDriver
+from cusrl_tpu.template.trainer import EnvironmentStats, Trainer, TrainerHook
+from cusrl_tpu.template.trial import Trial

@@ -1,0 +1,112 @@
+"""Fused scan rollout driver — the TPU performance path.
+
+Fuses ``hooks.pre_act -> actor.explore -> hooks.post_act -> env.step ->
+hooks.post_step -> memory reset -> episode-stat aggregation`` into ONE
+``lax.scan`` compiled once per rollout length.  The reference drives this loop
+from Python (cusrl/template/trainer.py:296-315); on TPU that would serialize
+device dispatches, so the whole rollout executes as a single XLA program and
+transitions are produced directly in the buffer's ``[T, N, ...]`` layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cusrl_tpu.template.environment import JaxEnvironment
+
+__all__ = ["ScanRolloutDriver"]
+
+
+class ScanRolloutDriver:
+    def __init__(self, agent, environment: JaxEnvironment):
+        self.agent = agent
+        self.environment = environment
+        self._env_state = None
+        self._cum_reward = None
+        self._cum_length = None
+        self._rollout_jit = jax.jit(self._rollout, static_argnames=("num_steps",), donate_argnums=(0, 1, 4, 5))
+
+    # -- traced ---------------------------------------------------------------
+
+    def _rollout(self, agent_state, env_state, observation, env_obs_state, memory, stats_carry, key, *, num_steps):
+        keys = jax.random.split(key, num_steps)
+
+        def body(carry, key_t):
+            agent_state, env_state, observation, env_obs_state, memory, (cum_reward, cum_length) = carry
+            act_key, env_key = jax.random.split(key_t)
+
+            agent_state, transition, action, memory = self.agent.act_body(
+                agent_state, observation, env_obs_state, memory, act_key, deterministic=False
+            )
+            env_state, reward, terminated, truncated, info = self.environment.step_fn(env_state, action, env_key)
+            next_observation, next_env_obs_state = self.environment.observe_fn(env_state)
+
+            transition["next_observation"] = next_observation
+            if next_env_obs_state is not None:
+                transition["next_state"] = next_env_obs_state
+            transition["reward"] = reward
+            transition["terminated"] = terminated
+            transition["truncated"] = truncated
+            for name, value in (info or {}).items():
+                transition[name] = value
+
+            agent_state, transition, memory = self.agent.step_body(agent_state, transition, memory)
+
+            done = transition["done"].reshape(-1)
+            cum_reward = cum_reward + reward.sum(-1)
+            cum_length = cum_length + 1
+            step_stats = (
+                jnp.sum(jnp.where(done, 1.0, 0.0)),
+                jnp.sum(jnp.where(done, cum_reward, 0.0)),
+                jnp.sum(jnp.where(done, cum_length.astype(jnp.float32), 0.0)),
+            )
+            cum_reward = jnp.where(done, 0.0, cum_reward)
+            cum_length = jnp.where(done, 0, cum_length)
+
+            new_carry = (agent_state, env_state, next_observation, next_env_obs_state, memory, (cum_reward, cum_length))
+            return new_carry, (transition, step_stats)
+
+        init = (agent_state, env_state, observation, env_obs_state, memory, stats_carry)
+        carry, (transitions, step_stats) = jax.lax.scan(body, init, keys)
+        aggregates = jnp.stack([jnp.sum(s) for s in step_stats])  # (episodes, return_sum, length_sum)
+        return carry, transitions, aggregates
+
+    # -- host -----------------------------------------------------------------
+
+    def reset(self) -> None:
+        self._env_state = None
+
+    def collect(self, num_steps: int):
+        """Runs one rollout; updates agent/env state in place; returns
+        (transitions: dict of [T, N, ...] device arrays, aggregates [3])."""
+        agent = self.agent
+        env = self.environment
+        if self._env_state is None:
+            self._env_state = env.init_fn(agent.next_key())
+            self._observation, self._obs_state = env.observe_fn(self._env_state)
+            n = env.num_instances
+            self._cum_reward = jnp.zeros((n,), jnp.float32)
+            self._cum_length = jnp.zeros((n,), jnp.int32)
+
+        carry, transitions, aggregates = self._rollout_jit(
+            agent.state,
+            self._env_state,
+            self._observation,
+            self._obs_state,
+            agent.actor_memory,
+            (self._cum_reward, self._cum_length),
+            agent.next_key(),
+            num_steps=num_steps,
+        )
+        (
+            agent.state,
+            self._env_state,
+            self._observation,
+            self._obs_state,
+            agent.actor_memory,
+            (self._cum_reward, self._cum_length),
+        ) = carry
+        return transitions, aggregates

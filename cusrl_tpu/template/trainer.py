@@ -1,0 +1,296 @@
+"""Training orchestrator (counterpart of cusrl/template/trainer.py:33-416).
+
+Two rollout drivers behind one Trainer API:
+
+* **Host driver** — for :class:`Environment` (Gym adapters, external sims): a
+  Python loop around the agent's jitted act/step functions, with partial resets
+  of done instances when the env does not autoreset.
+* **Scan driver** — for :class:`JaxEnvironment`: policy + env + hooks fuse into
+  ONE jitted ``lax.scan`` over the whole rollout; transitions land directly in
+  the device-resident buffer with zero per-step dispatch.  This is the TPU
+  performance path (the reference's Python act/step loop,
+  trainer.py:296-315, has no equivalent cost here).
+
+Episode statistics are aggregated on device (completed-episode return/length
+sums per iteration) and folded into a host-side rolling window — the functional
+equivalent of the reference's 100-episode EnvironmentStats buffers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+from collections import deque
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cusrl_tpu.template.agent import Agent, AgentFactory
+from cusrl_tpu.template.environment import Environment, JaxEnvironment, get_done_indices
+from cusrl_tpu.template.logger import LoggerFactory
+from cusrl_tpu.utils import distributed
+from cusrl_tpu.utils.timing import Timer
+
+__all__ = ["EnvironmentStats", "Trainer", "TrainerHook", "save_version_info"]
+
+
+class EnvironmentStats:
+    """Rolling episode reward/length statistics from per-iteration aggregates."""
+
+    def __init__(self, max_episodes: int = 100):
+        self.max_episodes = max_episodes
+        self._episodes: deque[tuple[float, float, float]] = deque(maxlen=256)  # (count, return_sum, length_sum)
+        self.total_steps = 0
+
+    def track_aggregates(self, count: float, return_sum: float, length_sum: float, steps: int) -> None:
+        self.total_steps += steps
+        if count > 0:
+            self._episodes.append((count, return_sum, length_sum))
+            while sum(c for c, _, _ in self._episodes) - self._episodes[0][0] >= self.max_episodes:
+                self._episodes.popleft()
+
+    @property
+    def episode_count(self) -> float:
+        return sum(c for c, _, _ in self._episodes)
+
+    @property
+    def mean_episode_reward(self) -> float | None:
+        count = self.episode_count
+        if count == 0:
+            return None
+        return sum(r for _, r, _ in self._episodes) / count
+
+    @property
+    def mean_episode_length(self) -> float | None:
+        count = self.episode_count
+        if count == 0:
+            return None
+        return sum(l for _, _, l in self._episodes) / count
+
+    def summary(self, prefix: str = "Environment/") -> dict[str, float]:
+        result: dict[str, float] = {}
+        if (reward := self.mean_episode_reward) is not None:
+            result[f"{prefix}episode_reward"] = reward
+        if (length := self.mean_episode_length) is not None:
+            result[f"{prefix}episode_length"] = length
+        return result
+
+    def state_dict(self) -> dict:
+        return {"total_steps": self.total_steps}
+
+    def load_state_dict(self, state: dict) -> None:
+        # Deliberately restore only total_steps (trainer.py:106-113).
+        self.total_steps = int(state.get("total_steps", 0))
+
+
+def save_version_info(output_dir: str) -> None:
+    """Git provenance snapshot of the working directory (trainer.py:116-140)."""
+    os.makedirs(output_dir, exist_ok=True)
+
+    def run(cmd: list[str]) -> str:
+        try:
+            return subprocess.run(cmd, capture_output=True, text=True, timeout=20).stdout
+        except Exception:
+            return ""
+
+    with open(os.path.join(output_dir, "workspace.txt"), "w") as f:
+        f.write(os.getcwd() + "\n")
+    for name, cmd in [
+        ("git_log.txt", ["git", "log", "--oneline", "-20"]),
+        ("git_status.txt", ["git", "status", "--short"]),
+        ("git_diff.patch", ["git", "diff"]),
+    ]:
+        out = run(cmd)
+        if out:
+            with open(os.path.join(output_dir, name), "w") as f:
+                f.write(out)
+
+
+class TrainerHook:
+    """Side callbacks on the training loop (not agent hooks)."""
+
+    def init(self, trainer: "Trainer") -> None:
+        pass
+
+    def pre_iteration(self, trainer: "Trainer") -> None:
+        pass
+
+    def post_iteration(self, trainer: "Trainer", metrics: dict[str, float]) -> None:
+        pass
+
+
+class Trainer:
+    def __init__(
+        self,
+        environment: Environment | JaxEnvironment | Callable[[], Any],
+        agent_factory: AgentFactory,
+        num_iterations: int = 1000,
+        logger_factory: LoggerFactory | Callable[..., Any] | None = None,
+        checkpoint_interval: int = 50,
+        experiment_name: str = "experiment",
+        checkpoint: dict[str, Any] | None = None,
+        verbose: bool = True,
+        hooks: tuple[TrainerHook, ...] = (),
+        metadata: dict[str, Any] | None = None,
+    ):
+        self.environment = environment() if callable(environment) and not hasattr(environment, "spec") else environment
+        self.agent: Agent = agent_factory.from_environment(self.environment)
+        self.num_iterations = num_iterations
+        self.checkpoint_interval = checkpoint_interval
+        self.verbose = verbose
+        self.stats = EnvironmentStats()
+        self.timer = Timer(synchronize=True)
+        self.hooks = tuple(hooks)
+        self.logger = logger_factory(experiment_name) if logger_factory is not None else None
+
+        self._is_jax_env = isinstance(self.environment, JaxEnvironment)
+        self._scan_driver = None
+        self._host_obs = None
+        self._host_state = None
+
+        if checkpoint is not None:
+            self.load_checkpoint(checkpoint)
+        if self.logger is not None and distributed.is_main_process():
+            save_version_info(self.logger.info_dir)
+            with open(os.path.join(self.logger.info_dir, "metadata.json"), "w") as f:
+                json.dump(metadata or {}, f, indent=2, default=str)
+        for hook in self.hooks:
+            hook.init(self)
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def make_checkpoint(self) -> dict[str, Any]:
+        return {
+            "agent": self.agent.state_dict(),
+            "environment": self.environment.state_dict(),
+            "stats": self.stats.state_dict(),
+            "iteration": self.agent.iteration,
+        }
+
+    def load_checkpoint(self, checkpoint: dict[str, Any]) -> None:
+        self.agent.load_state_dict(checkpoint.get("agent", {}))
+        if checkpoint.get("environment"):
+            self.environment.load_state_dict(checkpoint["environment"])
+        if checkpoint.get("stats"):
+            self.stats.load_state_dict(checkpoint["stats"])
+        if "iteration" in checkpoint:
+            self.agent.set_iteration(int(checkpoint["iteration"]))
+
+    # -- main loop -------------------------------------------------------------
+
+    def run_training_loop(self) -> None:
+        start = self.agent.iteration
+        for iteration in range(start, self.num_iterations):
+            for hook in self.hooks:
+                hook.pre_iteration(self)
+            metrics = self._rollout_and_update()
+            metrics = self._log_iteration(iteration, metrics)
+            for hook in self.hooks:
+                hook.post_iteration(self, metrics)
+            if self.logger is not None and (iteration + 1) % self.checkpoint_interval == 0:
+                self.logger.save_checkpoint(self.make_checkpoint(), iteration + 1)
+        if self.logger is not None:
+            self.logger.save_checkpoint(self.make_checkpoint(), self.num_iterations)
+
+    def _rollout_and_update(self) -> dict[str, float]:
+        if self._is_jax_env:
+            return self._rollout_and_update_scan()
+        return self._rollout_and_update_host()
+
+    # -- host driver -----------------------------------------------------------
+
+    def _rollout_and_update_host(self) -> dict[str, float]:
+        env = self.environment
+        agent = self.agent
+        if self._host_obs is None:
+            self._host_obs, self._host_state, _ = env.reset()
+            self._host_cum_reward = np.zeros(env.num_instances)
+            self._host_cum_length = np.zeros(env.num_instances)
+
+        with self.timer.record("environment"):
+            should_update = False
+            while not should_update:
+                action = agent.act(self._host_obs, self._host_state)
+                obs, state, reward, terminated, truncated, info = env.step(action)
+                done = np.asarray(terminated).reshape(-1) | np.asarray(truncated).reshape(-1)
+                self._host_cum_reward += np.asarray(reward).sum(-1)
+                self._host_cum_length += 1
+                if done.any():
+                    self.stats.track_aggregates(
+                        float(done.sum()),
+                        float(self._host_cum_reward[done].sum()),
+                        float(self._host_cum_length[done].sum()),
+                        0,
+                    )
+                    self._host_cum_reward[done] = 0
+                    self._host_cum_length[done] = 0
+                self.stats.total_steps += env.num_instances
+                extra = {k: v for k, v in (info or {}).items() if isinstance(v, np.ndarray)}
+                should_update = agent.step(obs, reward, terminated, truncated, next_state=state, **extra)
+                if not env.spec.autoreset:
+                    indices = get_done_indices(terminated, truncated)
+                    if indices.size:
+                        new_obs, new_state, _ = env.reset(indices=indices)
+                        obs = np.asarray(obs).copy()
+                        obs[indices] = np.asarray(new_obs)[indices]
+                        if state is not None and new_state is not None:
+                            state = np.asarray(state).copy()
+                            state[indices] = np.asarray(new_state)[indices]
+                self._host_obs, self._host_state = obs, state
+
+        with self.timer.record("agent"):
+            return self.agent.update()
+
+    # -- scan driver -----------------------------------------------------------
+
+    def _rollout_and_update_scan(self) -> dict[str, float]:
+        from cusrl_tpu.template.rollout import ScanRolloutDriver
+
+        if self._scan_driver is None:
+            self._scan_driver = ScanRolloutDriver(self.agent, self.environment)
+
+        with self.timer.record("environment"):
+            transitions, aggregates = self._scan_driver.collect(self.agent.num_steps_per_update)
+            self.agent.buffer.replace_data(transitions)
+            jax.block_until_ready(aggregates)
+        count, return_sum, length_sum = (float(x) for x in aggregates)
+        steps = self.agent.num_steps_per_update * self.environment.num_instances * distributed.world_size()
+        self.stats.track_aggregates(count, return_sum, length_sum, steps)
+        self.agent.step_index = self.agent.num_steps_per_update
+
+        with self.timer.record("agent"):
+            return self.agent.update()
+
+    # -- logging ---------------------------------------------------------------
+
+    def _log_iteration(self, iteration: int, metrics: dict[str, float]) -> dict[str, float]:
+        env_time = self.timer.total("environment")
+        agent_time = self.timer.total("agent")
+        self.timer.clear()
+        steps = self.agent.num_steps_per_update * getattr(self.environment, "num_instances", 1)
+        steps *= distributed.world_size()
+        info = {f"Train/{k}": v for k, v in metrics.items()}
+        info.update(self.stats.summary())
+        info.update(
+            {
+                "Perf/environment_time": env_time,
+                "Perf/agent_time": agent_time,
+                "Perf/environment_step": float(self.stats.total_steps),
+                "Perf/environment_fps": steps / env_time if env_time > 0 else 0.0,
+                "Perf/agent_fps": steps / agent_time if agent_time > 0 else 0.0,
+            }
+        )
+        info = distributed.average_dict(info)
+        if self.logger is not None:
+            self.logger.log_scalars(info, iteration)
+        if self.verbose and distributed.is_main_process():
+            reward = info.get("Environment/episode_reward")
+            reward_str = f"{reward:9.3f}" if reward is not None else "      n/a"
+            print(
+                f"iter {iteration + 1:>5}/{self.num_iterations} | reward {reward_str} | "
+                f"env_fps {info['Perf/environment_fps']:>12.0f} | agent_fps {info['Perf/agent_fps']:>12.0f}"
+            )
+        return info
