@@ -1,0 +1,79 @@
+"""Headline benchmark: PPO throughput on 4096-env locomotion (one TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.json north star of 10M env-steps/s
+on one v5e host (the reference publishes no numbers of its own — SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NORTH_STAR_STEPS_PER_S = 10_000_000.0
+
+
+def main() -> None:
+    import jax
+
+    import cusrl_tpu
+    from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+    from cusrl_tpu.template.rollout import ScanRolloutDriver
+
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    steps_per_update = int(os.environ.get("BENCH_STEPS", 24))
+    warmup_iters = int(os.environ.get("BENCH_WARMUP", 3))
+    timed_iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    env = VelocityLocomotionEnv(num_instances=num_envs)
+    factory = cusrl_tpu.PpoAgentFactory(
+        num_steps_per_update=steps_per_update,
+        actor_hidden_dims=(512, 256, 128),
+        critic_hidden_dims=(512, 256, 128),
+        activation_fn="elu",
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        desired_kl_divergence=0.01,
+    )
+    agent = factory(env.spec)
+    if len(jax.devices()) > 1:
+        from cusrl_tpu.parallel.sharding import distribute_agent
+
+        distribute_agent(agent)
+    driver = ScanRolloutDriver(agent, env)
+
+    def one_iteration():
+        # One fused jitted call per iteration; nothing fetched to host.
+        driver.collect_and_update(steps_per_update)
+        agent.iteration += 1
+
+    for _ in range(warmup_iters):
+        one_iteration()
+    jax.block_until_ready(agent.state)
+
+    start = time.perf_counter()
+    for _ in range(timed_iters):
+        one_iteration()
+    jax.block_until_ready(agent.state)
+    elapsed = time.perf_counter() - start
+
+    steps_per_s = timed_iters * steps_per_update * num_envs / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_locomotion_env_steps_per_s",
+                "value": round(steps_per_s, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(steps_per_s / NORTH_STAR_STEPS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

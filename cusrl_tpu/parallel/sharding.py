@@ -1,0 +1,116 @@
+"""Device-mesh sharding (the TPU-native replacement for the reference's
+torchrun DDP + manual NCCL collectives; SURVEY.md §2.6).
+
+Strategy: a 2-D ``(data, model)`` mesh.
+
+* **Data parallelism** (the reference's only strategy): parameters replicated,
+  environment instances / rollout batches sharded over ``data``.  Gradients are
+  all-reduced automatically by XLA inside the jitted update — no explicit
+  collective calls anywhere in framework code; running statistics computed over
+  the globally-sharded batch are global for the same reason.
+* **Tensor parallelism** (reserved headroom beyond the reference): MLP hidden
+  layers can be sharded over ``model`` by alternating row/column partitioning
+  (Megatron-style); XLA inserts the psum at the sharding boundary.
+
+Everything is expressed as ``NamedSharding`` placements applied by dotted-path
+pattern — the same path naming the optimizer and GradientClipping use.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cusrl_tpu.nn.base import tree_paths
+
+__all__ = ["distribute_agent", "get_mesh", "replicate", "shard_batch", "tensor_parallel_rules"]
+
+
+def get_mesh(model_parallel_size: int = 1, devices=None) -> Mesh:
+    """Builds a ``(data, model)`` mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices.size % model_parallel_size != 0:
+        raise ValueError(f"{devices.size} devices not divisible by model_parallel_size={model_parallel_size}")
+    return Mesh(devices.reshape(devices.size // model_parallel_size, model_parallel_size), ("data", "model"))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicates every leaf across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis: int = 0) -> Any:
+    """Shards every leaf's ``axis`` over the ``data`` mesh axis."""
+
+    def _put(leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim <= axis:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        spec = [None] * leaf.ndim
+        spec[axis] = "data"
+        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(_put, tree)
+
+
+def tensor_parallel_rules() -> list[tuple[str, P]]:
+    """Megatron-style alternating partition specs for MLP stacks.
+
+    Even backbone layers shard the output (hidden) dimension, odd layers shard
+    the input dimension; heads stay replicated.  Matched against dotted paths
+    like ``actor.backbone.layers.0.weight``.
+    """
+    rules: list[tuple[str, P]] = []
+    for layer in range(0, 64, 2):
+        rules.append((rf".*\.layers\.{layer}\.weight$", P("model", None)))
+        rules.append((rf".*\.layers\.{layer}\.bias$", P("model")))
+    for layer in range(1, 64, 2):
+        rules.append((rf".*\.layers\.{layer}\.weight$", P(None, "model")))
+    return rules
+
+
+def _apply_rules(tree: Any, mesh: Mesh, rules: list[tuple[str, P]]) -> Any:
+    compiled = [(re.compile(pattern), spec) for pattern, spec in rules]
+    placements = []
+    for path, leaf in tree_paths(tree):
+        spec = P()
+        if hasattr(leaf, "ndim"):
+            for regex, candidate in compiled:
+                if regex.match(path):
+                    # Skip rules whose sharded dims do not divide the leaf shape.
+                    ok = True
+                    for dim, name in enumerate(candidate):
+                        if name is None:
+                            continue
+                        if dim >= leaf.ndim or leaf.shape[dim] % mesh.shape["model"] != 0:
+                            ok = False
+                    if ok:
+                        spec = candidate
+                    break
+        placements.append(NamedSharding(mesh, spec))
+    leaves, treedef = jax.tree.flatten(tree)
+    placed = [jax.device_put(leaf, sharding) for leaf, sharding in zip(leaves, placements)]
+    return jax.tree.unflatten(treedef, placed)
+
+
+def distribute_agent(agent, mesh: Mesh | None = None, tensor_parallel: bool = False) -> Mesh:
+    """Places the agent's state on the mesh: replicated parameters (DP), with
+    optional Megatron-style sharding of MLP stacks over ``model`` (TP).
+
+    Call once after construction; all subsequent jitted act/update calls will
+    propagate these shardings and XLA will insert the collectives.
+    """
+    if mesh is None:
+        mesh = get_mesh()
+    if tensor_parallel and mesh.shape["model"] > 1:
+        agent.state = _apply_rules(agent.state, mesh, tensor_parallel_rules())
+    else:
+        agent.state = replicate(agent.state, mesh)
+    if agent.actor_memory is not None:
+        agent.actor_memory = shard_batch(agent.actor_memory, mesh, axis=0)
+    agent._mesh = mesh
+    return mesh

@@ -330,6 +330,12 @@ class ActorCritic(Agent):
         key = self.next_key()
         self.state, metrics = self._get_update_jit()(self.state, rollout, key)
         self.record(metrics)
+        return self.finish_update()
+
+    def finish_update(self) -> dict[str, float]:
+        """Host-side tail of an update: iteration bookkeeping, schedules, metric
+        summary.  The fused rollout+update driver calls this after its single
+        jitted iteration (the device-side work already ran in update_body)."""
         summary = super().update()
         self._apply_schedules(self.iteration)
         return summary

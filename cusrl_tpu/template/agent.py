@@ -57,9 +57,17 @@ class Agent(ABC):
 
     # -- RNG ------------------------------------------------------------------
 
+    _KEY_BUFFER_SIZE = 256
+
     def next_key(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        """Returns a fresh PRNG key; splits in batches so the per-call device
+        dispatch cost is amortized 1/256 (matters over remote-TPU tunnels)."""
+        buffer = getattr(self, "_key_buffer", None)
+        if not buffer:
+            keys = jax.random.split(self._key, self._KEY_BUFFER_SIZE + 1)
+            self._key = keys[0]
+            self._key_buffer = buffer = list(keys[1:])
+        return buffer.pop()
 
     # -- IO format preservation (cusrl/template/agent.py:376-391) -------------
 

@@ -74,23 +74,92 @@ class ScanRolloutDriver:
         aggregates = jnp.stack([jnp.sum(s) for s in step_stats])  # (episodes, return_sum, length_sum)
         return carry, transitions, aggregates
 
+    # -- fused rollout + update (one dispatch per iteration) -------------------
+
+    def _build_fused(self, num_steps: int):
+        metric_keys: list[str] = []
+
+        def iteration(agent_state, env_state, observation, env_obs_state, memory, stats_carry, key):
+            rollout_key, update_key = jax.random.split(key)
+            carry, transitions, aggregates = self._rollout(
+                agent_state, env_state, observation, env_obs_state, memory, stats_carry, rollout_key,
+                num_steps=num_steps,
+            )
+            agent_state = carry[0]
+            agent_state, metrics = self.agent.update_body(agent_state, transitions, update_key)
+            if not metric_keys:  # populated once at trace time
+                metric_keys.extend(sorted(metrics))
+            stacked = jnp.stack([jnp.asarray(metrics[k], jnp.float32).reshape(()) for k in sorted(metrics)])
+            carry = (agent_state, *carry[1:])
+            return carry, aggregates, stacked
+
+        fused = jax.jit(iteration, donate_argnums=(0, 1, 4, 5))
+        return fused, metric_keys
+
+    def collect_and_update(self, num_steps: int):
+        """One full training iteration (rollout + update) as a single jitted
+        call; returns (aggregates [3], stacked metric values [K], metric keys) —
+        device arrays the caller fetches in one transfer (or not at all).  The
+        Buffer is bypassed entirely — transitions never leave the XLA program."""
+        agent = self.agent
+        self._ensure_initialized()
+        if not hasattr(self, "_fused") or self._fused_steps != num_steps:
+            self._fused, self._fused_keys = self._build_fused(num_steps)
+            self._fused_steps = num_steps
+
+        carry, aggregates, stacked = self._fused(
+            agent.state,
+            self._env_state,
+            self._observation,
+            self._obs_state,
+            agent.actor_memory,
+            (self._cum_reward, self._cum_length),
+            agent.next_key(),
+        )
+        (
+            agent.state,
+            self._env_state,
+            self._observation,
+            self._obs_state,
+            agent.actor_memory,
+            (self._cum_reward, self._cum_length),
+        ) = carry
+        return aggregates, stacked, tuple(self._fused_keys)
+
     # -- host -----------------------------------------------------------------
 
     def reset(self) -> None:
         self._env_state = None
 
+    def _ensure_initialized(self) -> None:
+        agent = self.agent
+        env = self.environment
+        if self._env_state is not None:
+            return
+        self._env_state = env.init_fn(agent.next_key())
+        self._observation, self._obs_state = env.observe_fn(self._env_state)
+        n = env.num_instances
+        self._cum_reward = jnp.zeros((n,), jnp.float32)
+        self._cum_length = jnp.zeros((n,), jnp.int32)
+        mesh = getattr(agent, "_mesh", None)
+        if mesh is not None:
+            # Shard environment instances over the data axis; the whole fused
+            # rollout then runs SPMD with XLA-inserted collectives only where
+            # global statistics demand them.
+            from cusrl_tpu.parallel.sharding import shard_batch
+
+            self._env_state = shard_batch(self._env_state, mesh, axis=0)
+            self._observation = shard_batch(self._observation, mesh, axis=0)
+            if self._obs_state is not None:
+                self._obs_state = shard_batch(self._obs_state, mesh, axis=0)
+            self._cum_reward = shard_batch(self._cum_reward, mesh, axis=0)
+            self._cum_length = shard_batch(self._cum_length, mesh, axis=0)
+
     def collect(self, num_steps: int):
         """Runs one rollout; updates agent/env state in place; returns
         (transitions: dict of [T, N, ...] device arrays, aggregates [3])."""
         agent = self.agent
-        env = self.environment
-        if self._env_state is None:
-            self._env_state = env.init_fn(agent.next_key())
-            self._observation, self._obs_state = env.observe_fn(self._env_state)
-            n = env.num_instances
-            self._cum_reward = jnp.zeros((n,), jnp.float32)
-            self._cum_length = jnp.zeros((n,), jnp.int32)
-
+        self._ensure_initialized()
         carry, transitions, aggregates = self._rollout_jit(
             agent.state,
             self._env_state,

@@ -252,17 +252,16 @@ class Trainer:
         if self._scan_driver is None:
             self._scan_driver = ScanRolloutDriver(self.agent, self.environment)
 
-        with self.timer.record("environment"):
-            transitions, aggregates = self._scan_driver.collect(self.agent.num_steps_per_update)
-            self.agent.buffer.replace_data(transitions)
-            jax.block_until_ready(aggregates)
-        count, return_sum, length_sum = (float(x) for x in aggregates)
+        with self.timer.record("agent"):
+            aggregates, stacked, keys = self._scan_driver.collect_and_update(self.agent.num_steps_per_update)
+            # ONE host transfer per iteration: stats aggregates + all metrics.
+            values = np.asarray(jnp.concatenate([aggregates, stacked]))
+        count, return_sum, length_sum = (float(x) for x in values[:3])
         steps = self.agent.num_steps_per_update * self.environment.num_instances * distributed.world_size()
         self.stats.track_aggregates(count, return_sum, length_sum, steps)
         self.agent.step_index = self.agent.num_steps_per_update
-
-        with self.timer.record("agent"):
-            return self.agent.update()
+        self.agent.record(dict(zip(keys, values[3:])))
+        return self.agent.finish_update()
 
     # -- logging ---------------------------------------------------------------
 
@@ -281,6 +280,7 @@ class Trainer:
                 "Perf/environment_step": float(self.stats.total_steps),
                 "Perf/environment_fps": steps / env_time if env_time > 0 else 0.0,
                 "Perf/agent_fps": steps / agent_time if agent_time > 0 else 0.0,
+                "Perf/total_fps": steps / (env_time + agent_time) if env_time + agent_time > 0 else 0.0,
             }
         )
         info = distributed.average_dict(info)

@@ -110,14 +110,16 @@ def test_player_on_jax_env():
 
 
 def test_scan_and_host_drivers_share_buffer_schema():
-    """The scan path must produce the same buffer fields as the host path."""
+    """The scan rollout must produce the same transition fields as the host path."""
+    from cusrl_tpu.template.rollout import ScanRolloutDriver
+
     env_h = DummyEnvironment(observation_dim=6, action_dim=2, num_instances=3, seed=1)
     t_h = Trainer(environment=env_h, agent_factory=make_factory(), num_iterations=1, verbose=False)
     t_h.run_training_loop()
     env_j = DummyJaxEnvironment(observation_dim=6, action_dim=2, num_instances=3)
-    t_j = Trainer(environment=env_j, agent_factory=make_factory(), num_iterations=1, verbose=False)
-    t_j.run_training_loop()
-    assert set(t_h.agent.buffer.schema) == set(t_j.agent.buffer.schema)
+    agent_j = make_factory()(env_j.spec)
+    transitions, _ = ScanRolloutDriver(agent_j, env_j).collect(agent_j.num_steps_per_update)
+    assert set(t_h.agent.buffer.schema) == set(transitions)
 
 
 def test_checkpoint_file_roundtrip(tmp_path):
