@@ -14,3 +14,13 @@ from cusrl_tpu.hook.on_policy.lr_schedule import (
 from cusrl_tpu.hook.on_policy.ppo import EntropyLoss, PpoSurrogateLoss
 from cusrl_tpu.hook.on_policy.stats import OnPolicyStatistics
 from cusrl_tpu.hook.on_policy.value import ValueComputation, ValueLoss
+from cusrl_tpu.hook.auxiliary.amp import AdversarialMotionPrior
+from cusrl_tpu.hook.auxiliary.distillation import PolicyDistillation, PolicyDistillationLoss
+from cusrl_tpu.hook.auxiliary.estimation import StateEstimation
+from cusrl_tpu.hook.auxiliary.representation import NextStatePrediction, ReturnPrediction, StatePrediction
+from cusrl_tpu.hook.auxiliary.rnd import RandomNetworkDistillation
+from cusrl_tpu.hook.auxiliary.smoothness import ActionSmoothnessLoss
+from cusrl_tpu.hook.control.condition import ConditionalObjectiveActivation, EpochIndexCondition
+from cusrl_tpu.hook.control.memory import DeviceMemoryStats, EmptyCudaCache
+from cusrl_tpu.hook.control.optimization_stage import OptimizationStage
+from cusrl_tpu.hook.control.schedule import HookActivationSchedule, HookParameterSchedule

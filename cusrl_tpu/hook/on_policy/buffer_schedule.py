@@ -18,13 +18,8 @@ class OnPolicyBufferCapacitySchedule(Hook):
     schedule: Callable[[int], int] = static_field(default=None)
     training_only: bool = static_field(default=True, kw_only=True)
 
-    _agent: object = static_field(default=None, kw_only=True)
-
-    def init(self, agent, key):
-        return self.replace(_agent=agent)
-
-    def apply_schedule(self, iteration: int):
+    def apply_schedule(self, iteration: int, agent=None):
         capacity = int(self.schedule(iteration))
-        self._agent.num_steps_per_update = capacity
-        self._agent.resize_buffer(capacity)
+        agent.num_steps_per_update = capacity
+        agent.resize_buffer(capacity)
         return self

@@ -36,6 +36,7 @@ class OnPolicyPreparation(Hook):
         logp_ratio = action_logp - batch["action_logp"]
 
         batch["curr_action_dist"] = action_dist
+        batch["actor_intermediate"] = _aux  # latents for representation hooks
         batch["curr_action_logp"] = action_logp
         batch["curr_entropy"] = entropy
         batch["action_logp_ratio"] = logp_ratio

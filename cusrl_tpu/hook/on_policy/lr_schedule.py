@@ -87,7 +87,7 @@ class _KLDivergenceBasedLRSchedule(Hook):
         metrics["kl_divergence"] = kl
         return new_self, state, metrics
 
-    def apply_schedule(self, iteration: int):
+    def apply_schedule(self, iteration: int, agent=None):
         if self.warmup_iterations <= 0 or iteration > self.warmup_iterations:
             return self
         progress = min(iteration, self.warmup_iterations) / self.warmup_iterations

@@ -99,10 +99,20 @@ class ActorCritic(Agent):
         self._boot_critic = critic_factory(self.state_dim, self.value_dim, critic_key, action_dim=self.action_dim)
         self.buffer = Buffer(self.buffer_capacity, self.parallelism)
 
+        hooks = list(hooks)
         initialized_hooks = []
         self._boot_hooks = initialized_hooks
-        for hook in hooks:
+        # Hooks initializing early may look up later hooks by name (get_hook
+        # falls back to this not-yet-initialized remainder during boot).
+        self._boot_pending = hooks
+        for index, hook in enumerate(hooks):
+            self._boot_pending = hooks[index + 1 :]
             initialized_hooks.append(hook.init(self, self.next_key()))
+        self._boot_pending = []
+        names = [h.hook_name for h in initialized_hooks]
+        if len(names) != len(set(names)):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise RuntimeError(f"Duplicate hook names: {dupes}; use .named() to disambiguate")
 
         view = {
             "actor": self._boot_actor,
@@ -167,8 +177,9 @@ class ActorCritic(Agent):
                 self._boot_critic = critic
 
     def get_hook(self, hook_name: str) -> Hook:
-        hooks = self.state.hooks if hasattr(self, "state") else tuple(self._boot_hooks)
-        return find_hook(hooks, hook_name)[1]
+        if hasattr(self, "state"):
+            return find_hook(self.state.hooks, hook_name)[1]
+        return find_hook(tuple(self._boot_hooks) + tuple(getattr(self, "_boot_pending", ())), hook_name)[1]
 
     def update_hook(self, hook_name: str, new_hook: Hook) -> None:
         hooks = list(self.state.hooks)
@@ -348,7 +359,7 @@ class ActorCritic(Agent):
         for index, hook in enumerate(hooks):
             if not hook.active:
                 continue
-            new_hook = hook.apply_schedule(iteration)
+            new_hook = hook.apply_schedule(iteration, self)
             if new_hook is not hook:
                 hooks[index] = new_hook
                 changed = True

@@ -80,7 +80,7 @@ class Hook(Module):
     def post_init(self, agent: "ActorCritic") -> "Hook":
         return self
 
-    def apply_schedule(self, iteration: int) -> "Hook":
+    def apply_schedule(self, iteration: int, agent: "ActorCritic | None" = None) -> "Hook":
         return self
 
     def should_update(self, agent: "ActorCritic") -> bool:
@@ -123,18 +123,21 @@ class Hook(Module):
 
     def pre_optim(self, state: "AgentState", grads):
         """Gradient-space callback (clipping, LR overrides).
-        Returns (self, state, grads, metrics); MUST NOT modify state.hooks."""
+        Returns (self, state, grads, metrics); edits to state.hooks are kept,
+        but the returned self wins for this hook's own slot."""
         return self, state, grads, {}
 
     def post_objective(self, state: "AgentState", metadata: dict, batch: dict):
         """After the optimizer step for a batch (nested-optimization stage point).
-        Returns (self, state, metrics); MUST NOT modify state.hooks."""
+        Returns (self, state, metrics); edits to state.hooks are kept, but the
+        returned self wins for this hook's own slot."""
         return self, state, {}
 
     def post_update(self, state: "AgentState", rollout: dict, snapshot):
         """After the optimization epochs. ``snapshot`` holds the pre-update
-        (actor, critic, hooks) for KL-based update rejection.
-        Returns (self, state, metrics); MUST NOT modify state.hooks."""
+        (actor, critic, hooks, opt_state) for KL-based update rejection.
+        Returns (self, state, metrics); edits to state.hooks are kept, but the
+        returned self wins for this hook's own slot."""
         return self, state, {}
 
 
@@ -195,7 +198,12 @@ class HookComposite:
         return state.replace(hooks=tuple(hooks)), rollout, metrics
 
     def objective(self, state: "AgentState", metadata: dict, batch: dict):
-        """Returns (state, batch, objectives, metrics)."""
+        """Returns (state, batch, objectives, metrics).
+
+        If an earlier hook wrote ``batch["__objective_scales__"][name]`` (see
+        ConditionalObjectiveActivation), hook ``name``'s losses are multiplied by
+        that traced scale — the jit-friendly equivalent of the reference's
+        per-batch hook activation toggling (cusrl/hook/control/condition.py)."""
         objectives: dict = {}
         metrics: dict = {}
         hooks = list(state.hooks)
@@ -204,6 +212,9 @@ class HookComposite:
                 continue
             hooks[i], batch, obj, m = hook.objective(state.replace(hooks=tuple(hooks)), metadata, batch)
             if obj:
+                scale = batch.get("__objective_scales__", {}).get(hook.hook_name)
+                if scale is not None:
+                    obj = {key: value * scale for key, value in obj.items()}
                 for key in obj:
                     if key in objectives:
                         raise RuntimeError(f"Duplicate objective '{key}'")
@@ -218,7 +229,9 @@ class HookComposite:
             if not self._active(hook):
                 continue
             current = state.replace(hooks=tuple(hooks))
-            hooks[i], state, grads, m = hook.pre_optim(current, grads)
+            new_hook, state, grads, m = hook.pre_optim(current, grads)
+            hooks = list(state.hooks)  # keep state-level hook edits, then slot in self
+            hooks[i] = new_hook
             _merge_metrics(metrics, m)
         return state.replace(hooks=tuple(hooks)), grads, metrics
 
@@ -229,7 +242,9 @@ class HookComposite:
             if not self._active(hook):
                 continue
             current = state.replace(hooks=tuple(hooks))
-            hooks[i], state, m = hook.post_objective(current, metadata, batch)
+            new_hook, state, m = hook.post_objective(current, metadata, batch)
+            hooks = list(state.hooks)
+            hooks[i] = new_hook
             _merge_metrics(metrics, m)
         return state.replace(hooks=tuple(hooks)), metrics
 
@@ -240,8 +255,9 @@ class HookComposite:
             if not self._active(hook):
                 continue
             current = state.replace(hooks=tuple(hooks))
-            hooks[i], new_state, m = hook.post_update(current, rollout, snapshot)
-            state = new_state
+            new_hook, state, m = hook.post_update(current, rollout, snapshot)
+            hooks = list(state.hooks)
+            hooks[i] = new_hook
             _merge_metrics(metrics, m)
         return state.replace(hooks=tuple(hooks)), metrics
 

@@ -1,0 +1,201 @@
+"""Auxiliary/control hook integration tests (counterpart of
+cusrl_test/hook/auxiliary/* + control/*): each hook plugged into a full PPO
+agent, trained a couple of updates, producing finite losses/metrics."""
+
+import numpy as np
+import pytest
+
+import cusrl_tpu
+from cusrl_tpu.hook import (
+    ActionSmoothnessLoss,
+    AdversarialMotionPrior,
+    ConditionalObjectiveActivation,
+    EpochIndexCondition,
+    HookActivationSchedule,
+    HookParameterSchedule,
+    NextStatePrediction,
+    OptimizationStage,
+    PolicyDistillationLoss,
+    RandomNetworkDistillation,
+    ReturnPrediction,
+    StateEstimation,
+    StatePrediction,
+)
+from cusrl_tpu.nn.module.mlp import MlpFactory
+from cusrl_tpu.preset.optimizer import AdamFactory
+from cusrl_tpu.sampler import TemporalMiniBatchSampler
+from cusrl_tpu.utils.scheduler import PiecewiseLinearScheduler
+from tests.helpers import create_dummy_env, run_training
+
+
+def make_factory(hooks_to_add=(), with_state=False, temporal=False, **kwargs):
+    defaults = dict(
+        num_steps_per_update=8,
+        actor_hidden_dims=(32,),
+        critic_hidden_dims=(32,),
+        sampler_epochs=2,
+        sampler_mini_batches=2,
+    )
+    defaults.update(kwargs)
+    factory = cusrl_tpu.PpoAgentFactory(**defaults).to_underlying()
+    if temporal:
+        factory.sampler = TemporalMiniBatchSampler(num_epochs=2, num_mini_batches=2)
+    for hook, position in hooks_to_add:
+        factory.register_hook(hook, **position)
+    return factory
+
+
+def test_rnd_hook():
+    env = create_dummy_env()
+    factory = make_factory(
+        [(RandomNetworkDistillation(module_factory=MlpFactory(hidden_dims=(16,)), output_dim=8, reward_scale=0.5),
+          {"before": "value_computation"})]
+    )
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    assert np.isfinite(metrics["rnd_loss"]) and np.isfinite(metrics["rnd_reward"])
+
+
+def test_amp_hook():
+    rng = np.random.default_rng(0)
+    env = create_dummy_env()
+    dataset = rng.standard_normal((256, 6)).astype(np.float32)  # 3+3 indices
+    factory = make_factory(
+        [(AdversarialMotionPrior(
+            discriminator_factory=MlpFactory(hidden_dims=(16,), ends_with_activation=True),
+            dataset_source=dataset,
+            state_indices=(0, 1, 2),
+            batch_size=32,
+        ), {"before": "value_computation"})]
+    )
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    assert np.isfinite(metrics["amp_discrimination_loss"])
+    assert np.isfinite(metrics["amp_grad_penalty_loss"])
+
+
+def test_state_estimation_hook():
+    env = create_dummy_env(with_state=True)
+    factory = make_factory(
+        [(StateEstimation(estimator_factory=MlpFactory(hidden_dims=(16,)), target_indices=(0, 1)),
+          {"before": "value_computation"})],
+    )
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    assert np.isfinite(metrics["state_estimation_loss"])
+
+
+def test_representation_hooks():
+    env = create_dummy_env(with_state=True)
+    factory = make_factory(
+        [
+            (ReturnPrediction(), {"after": "on_policy_preparation"}),
+            (StatePrediction(target_indices=(0, 1)), {"after": "on_policy_preparation"}),
+            (NextStatePrediction(target_indices=(0,)), {"after": "on_policy_preparation"}),
+        ],
+    )
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    for key in ("return_prediction_loss", "state_prediction_loss", "next_state_prediction_loss"):
+        assert np.isfinite(metrics[key]), key
+
+
+def test_action_smoothness_requires_temporal_and_works():
+    env = create_dummy_env()
+    factory = make_factory(
+        [(ActionSmoothnessLoss(weight_1st_order=0.1, weight_2nd_order=0.1), {"after": "on_policy_preparation"})],
+        temporal=True,
+    )
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    assert np.isfinite(metrics["action_smoothness_1st_order_loss"])
+    assert np.isfinite(metrics["action_smoothness_2nd_order_loss"])
+
+
+def test_policy_distillation_loss_with_injected_targets():
+    env = create_dummy_env()
+
+    class ExpertTargets(cusrl_tpu.Hook):
+        def post_step(self, state, transition):
+            transition["expert_action"] = transition["action"] * 0.5
+            return self, transition
+
+    factory = make_factory(
+        [
+            (ExpertTargets(), {"before": "value_computation"}),
+            (PolicyDistillationLoss(), {"after": "on_policy_preparation"}),
+        ],
+    )
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    assert np.isfinite(metrics["distillation_loss"])
+
+
+def test_hook_parameter_schedule():
+    env = create_dummy_env()
+    factory = make_factory(
+        [(HookParameterSchedule(
+            target_hook="entropy_loss", parameter="weight",
+            scheduler=PiecewiseLinearScheduler((0, 0.02), (10, 0.0)),
+        ), {})],
+    )
+    agent = factory(env.spec)
+    run_training(agent, env, num_updates=2)
+    weight = float(np.asarray(agent.hook["entropy_loss"].weight))
+    assert weight == pytest.approx(0.02 - 2 * 0.002, abs=1e-6)
+
+
+def test_hook_activation_schedule():
+    env = create_dummy_env()
+    factory = make_factory(
+        [(HookActivationSchedule(target_hook="entropy_loss", scheduler=lambda it: it < 1), {})],
+    )
+    agent = factory(env.spec)
+    run_training(agent, env, num_updates=2)
+    assert not agent.hook["entropy_loss"].active
+
+
+def test_conditional_objective_activation():
+    env = create_dummy_env()
+    factory = make_factory(
+        [(ConditionalObjectiveActivation.create(entropy_loss=EpochIndexCondition(0)),
+          {"before": "on_policy_preparation"})],
+    )
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    assert np.isfinite(metrics["entropy_loss"])
+
+
+def test_optimization_stage():
+    env = create_dummy_env(with_state=True)
+    stage = OptimizationStage(
+        stage_name="aux",
+        stage_hooks=(StateEstimation(estimator_factory=MlpFactory(hidden_dims=(16,)), target_indices=(0, 1)),),
+        optimizer_factory=AdamFactory(lr=1e-3),
+    )
+    # The stage's estimation hook needs pre_act/post_step during rollout too, so
+    # it must also run standalone there; simplest composition: estimation hook
+    # outside for rollout writes + a stage running the loss with its own optim.
+    est = StateEstimation(estimator_factory=MlpFactory(hidden_dims=(16,)), target_indices=(0, 1))
+    factory = make_factory([
+        (est, {"before": "value_computation"}),
+        (OptimizationStage(
+            stage_name="aux2",
+            stage_hooks=(PolicyDistillationLossForStage(),),
+            optimizer_factory=AdamFactory(lr=1e-3),
+        ), {}),
+    ])
+    agent = factory(env.spec)
+    metrics = run_training(agent, env, num_updates=2)
+    assert np.isfinite(metrics["stage_aux_loss"])
+
+
+class PolicyDistillationLossForStage(cusrl_tpu.Hook):
+    """Tiny stage loss: pull action mean toward zero (exercise the nested optimizer)."""
+
+    def objective(self, state, metadata, batch):
+        import jax.numpy as jnp
+
+        dist_params, _, _ = state.actor(batch["observation"], None)
+        loss = jnp.mean(jnp.square(dist_params["mean"])) * 0.01
+        return self, batch, {"stage_aux_loss": loss}, {}
