@@ -24,3 +24,11 @@ from cusrl_tpu.hook.control.condition import ConditionalObjectiveActivation, Epo
 from cusrl_tpu.hook.control.memory import DeviceMemoryStats, EmptyCudaCache
 from cusrl_tpu.hook.control.optimization_stage import OptimizationStage
 from cusrl_tpu.hook.control.schedule import HookActivationSchedule, HookParameterSchedule
+from cusrl_tpu.hook.auxiliary.symmetry import (
+    MirrorDef,
+    MirrorSymmetryLoss,
+    SymmetricActor,
+    SymmetricArchitecture,
+    SymmetricDataAugmentation,
+    TransitionMirroring,
+)

@@ -206,6 +206,9 @@ class HookComposite:
         per-batch hook activation toggling (cusrl/hook/control/condition.py)."""
         objectives: dict = {}
         metrics: dict = {}
+        # Hooks mutate the batch dict; work on a shallow copy so repeated
+        # invocations of this fold (grad probe + grad trace) stay idempotent.
+        batch = dict(batch)
         hooks = list(state.hooks)
         for i, hook in enumerate(hooks):
             if not self._active(hook):
