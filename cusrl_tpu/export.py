@@ -173,28 +173,34 @@ def build_actor_graph(agent, with_environment_normalization: bool = True) -> Exp
         hook.pre_export(agent, graph)
 
     actor = agent.state.actor
+    info = {"observation_dim": spec.observation_dim, "action_dim": spec.action_dim, "is_recurrent": actor.is_recurrent}
     if actor.is_recurrent:
 
         def actor_fn(observation, memory):
-            action, new_memory = actor.act_deterministic(observation, memory)
-            return action, new_memory
+            dist_params, new_memory, aux = actor(observation, memory)
+            return actor.distribution.mode(dist_params), aux["backbone.output"], new_memory
 
         graph.add_node(
             "actor",
             actor_fn,
             {"observation": "observation", "memory": "memory_in"},
-            ("action", "memory_out"),
+            ("action", "actor.backbone.output", "memory_out"),
             expose_outputs=True,
-            info={"observation_dim": spec.observation_dim, "action_dim": spec.action_dim, "is_recurrent": True},
+            info=info,
         )
     else:
+
+        def actor_fn(observation):
+            dist_params, _, aux = actor(observation, None)
+            return actor.distribution.mode(dist_params), aux["backbone.output"]
+
         graph.add_node(
             "actor",
-            lambda observation: actor.act_deterministic(observation, None)[0],
+            actor_fn,
             {"observation": "observation"},
-            ("action",),
+            ("action", "actor.backbone.output"),
             expose_outputs=True,
-            info={"observation_dim": spec.observation_dim, "action_dim": spec.action_dim, "is_recurrent": False},
+            info=info,
         )
     for hook in agent.state.hooks:
         hook.post_export(agent, graph)

@@ -72,6 +72,10 @@ class Distribution(Module):
     def determine(self, backbone_feat: jax.Array, **kwargs) -> jax.Array:
         return self.mean_head(backbone_feat.astype(jnp.float32))
 
+    def mode(self, dist_params: dict[str, jax.Array]) -> jax.Array:
+        """Deterministic action from already-computed distribution parameters."""
+        return dist_params["mean"]
+
 
 def _normal_logp(mean, std, x):
     z = (x - mean) / std
@@ -181,6 +185,10 @@ class OneHotCategoricalDist(Distribution):
 
     def determine(self, backbone_feat, **kwargs):
         logits = self.mean_head(backbone_feat.astype(jnp.float32))
+        return jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32)
+
+    def mode(self, dist_params):
+        logits = dist_params["logits"]
         return jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32)
 
 
