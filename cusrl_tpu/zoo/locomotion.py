@@ -1,0 +1,82 @@
+"""Velocity-locomotion experiments on the JAX-native benchmark env — the
+counterpart of the reference's IsaacLab/mjlab velocity suites
+(cusrl/zoo/isaaclab/locomotion.py:7-65, cusrl/zoo/mjlab/velocity.py:6-37):
+same PPO hyperparameter shapes (24 steps/update, ELU MLPs, KL-adaptive LR) on a
+fully on-device environment, so these also serve as the throughput benchmarks.
+"""
+
+from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+from cusrl_tpu.preset.ppo import PpoAgentFactory, RecurrentPpoAgentFactory
+from cusrl_tpu.zoo.registry import register_experiment
+
+register_experiment(
+    environment_name="Velocity-Flat",
+    algorithm_name="ppo",
+    agent_meta_factory=PpoAgentFactory,
+    agent_meta_factory_kwargs=dict(
+        num_steps_per_update=24,
+        actor_hidden_dims=(128, 128, 128),
+        critic_hidden_dims=(128, 128, 128),
+        activation_fn="elu",
+        lr=1e-3,
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        desired_kl_divergence=0.015,
+        entropy_loss_weight=0.005,
+    ),
+    training_env_factory=VelocityLocomotionEnv,
+    training_env_factory_kwargs={"num_instances": 4096},
+    benchmarking_env_factory=VelocityLocomotionEnv,
+    benchmarking_env_factory_kwargs={"num_instances": 64},
+    num_iterations=300,
+    checkpoint_interval=50,
+)
+
+register_experiment(
+    environment_name="Velocity-Rough",
+    algorithm_name="ppo",
+    agent_meta_factory=PpoAgentFactory,
+    agent_meta_factory_kwargs=dict(
+        num_steps_per_update=24,
+        actor_hidden_dims=(512, 256, 128),
+        critic_hidden_dims=(512, 256, 128),
+        activation_fn="elu",
+        lr=1e-3,
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        desired_kl_divergence=0.01,
+        entropy_loss_weight=0.005,
+    ),
+    training_env_factory=VelocityLocomotionEnv,
+    training_env_factory_kwargs={"num_instances": 4096},
+    benchmarking_env_factory=VelocityLocomotionEnv,
+    benchmarking_env_factory_kwargs={"num_instances": 64},
+    num_iterations=1500,
+    checkpoint_interval=200,
+)
+
+register_experiment(
+    environment_name="Velocity-Flat",
+    algorithm_name="recurrent_ppo",
+    agent_meta_factory=RecurrentPpoAgentFactory,
+    agent_meta_factory_kwargs=dict(
+        num_steps_per_update=24,
+        rnn_type="gru",
+        rnn_hidden_size=256,
+        mlp_hidden_dims=(128,),
+        activation_fn="elu",
+        lr=1e-3,
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        desired_kl_divergence=0.015,
+    ),
+    training_env_factory=VelocityLocomotionEnv,
+    training_env_factory_kwargs={"num_instances": 1024},
+    benchmarking_env_factory=VelocityLocomotionEnv,
+    benchmarking_env_factory_kwargs={"num_instances": 64},
+    num_iterations=300,
+    checkpoint_interval=50,
+)

@@ -1,0 +1,93 @@
+"""CLI + zoo tests (counterpart of cusrl_test/cli/*)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cusrl_tpu.utils.cli_utils import apply_overrides, parse_value, split_cli_overrides
+
+
+def test_parse_value():
+    assert parse_value("1e-4") == pytest.approx(1e-4)
+    assert parse_value("true") is True and parse_value("None") is None
+    assert parse_value("(64, 64)") == (64, 64)
+    assert parse_value("adam") == "adam"
+
+
+def test_split_overrides():
+    own, over = split_cli_overrides(["a", "b", "--", "--x.y", "1"])
+    assert own == ["a", "b"] and over == ["--x.y", "1"]
+
+
+def test_apply_overrides_nested():
+    from cusrl_tpu.preset.ppo import PpoAgentFactory
+
+    factory = PpoAgentFactory()
+    new, applied = apply_overrides(factory, ["--lr", "1e-4", "--actor_hidden_dims", "(32, 32)"])
+    assert new.lr == pytest.approx(1e-4)
+    assert new.actor_hidden_dims == (32, 32)
+    assert factory.lr != 1e-4  # original untouched
+    assert applied == {"lr": "1e-4", "actor_hidden_dims": "(32, 32)"}
+
+
+def test_apply_overrides_through_training_factory():
+    from cusrl_tpu.zoo.registry import get_experiment
+
+    spec = get_experiment("CartPole-v1", "ppo")
+    factory = spec.to_training_factory()
+    new, _ = apply_overrides(factory, ["--agent.lr", "5e-4", "--environment_kwargs.num_envs", "4"])
+    assert new.agent.lr == pytest.approx(5e-4)
+    assert new.environment_kwargs["num_envs"] == 4
+
+
+def test_registry_contains_reference_suites():
+    from cusrl_tpu.zoo.registry import list_experiments
+
+    names = list_experiments()
+    for expected in ("CartPole-v1_ppo", "MountainCar-v0_ppo", "Pendulum-v1_ppo", "Velocity-Flat_ppo"):
+        assert expected in names
+
+
+def test_cli_train_and_resume_roundtrip(tmp_path, monkeypatch):
+    from cusrl_tpu.__main__ import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train", "-env", "CartPole-v1", "-alg", "ppo",
+        "--num-iterations", "2", "--logger", "none", "--seed", "0",
+        "--log-dir", str(tmp_path / "logs"), "--quiet",
+        "--", "--agent.sampler_epochs", "1", "--num_iterations", "2",
+    ])
+    # A run dir with a checkpoint must exist and find-trial must resolve it.
+    from cusrl_tpu.template.trial import Trial
+
+    trial = Trial(str(tmp_path / "logs"))
+    assert trial.iteration == 2
+    main([
+        "find-trial", "--log-dir", str(tmp_path / "logs"), "--what", "iteration",
+    ])
+
+
+def test_cli_benchmark(tmp_path, monkeypatch, capsys):
+    from cusrl_tpu.__main__ import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "benchmark", "-env", "CartPole-v1", "-alg", "ppo", "--num-steps", "12",
+        "--log-dir", str(tmp_path / "logs"),
+    ])
+    captured = capsys.readouterr()
+    assert "step_reward" in captured.out
+
+
+def test_cli_export(tmp_path, monkeypatch):
+    from cusrl_tpu.__main__ import main
+
+    main([
+        "export", "-env", "CartPole-v1", "-alg", "ppo",
+        "-o", str(tmp_path / "exported"), "--format", "package",
+        "--log-dir", str(tmp_path / "logs"),
+    ])
+    assert (tmp_path / "exported" / "policy.pkl").exists()
+    assert (tmp_path / "exported" / "manifest.yaml").exists()
