@@ -32,3 +32,5 @@ from cusrl_tpu.hook.auxiliary.symmetry import (
     SymmetricDataAugmentation,
     TransitionMirroring,
 )
+from cusrl_tpu.hook.mdp.environment_spec import DynamicEnvironmentSpecOverride, EnvironmentSpecOverride
+from cusrl_tpu.hook.player.save_transition import SaveTransition

@@ -32,3 +32,8 @@ from cusrl_tpu.nn.module.distribution import (
     OneHotCategoricalDistFactory,
 )
 from cusrl_tpu.nn.module.mlp import Mlp, MlpFactory
+from cusrl_tpu.nn.module.cnn import Cnn, CnnFactory
+from cusrl_tpu.nn.module.rnn import Gru, Lstm, Rnn, RnnFactory, VanillaRnn
+from cusrl_tpu.nn.module.sequential import Sequential, SequentialFactory
+from cusrl_tpu.nn.module.simba import Simba, SimbaFactory
+from cusrl_tpu.nn.module.stub import Identity, IdentityFactory, StubModule, StubModuleFactory

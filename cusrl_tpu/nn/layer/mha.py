@@ -1,0 +1,233 @@
+"""Multi-head attention and transformer layers (counterpart of
+cusrl/nn/layer/mha.py:16-391 + transformer.py:12-402).
+
+SDPA runs as plain einsum + softmax — XLA fuses this well on TPU for the
+moderate sequence lengths RL uses; the sliding-window *recurrent* attention
+(the hot path) lives in nn/module/causal_attn.py.  Supports QK layer-norm and
+rotary embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cusrl_tpu.nn.base import Module, static_field
+from cusrl_tpu.nn.layer.encoding import RotaryEmbedding
+from cusrl_tpu.nn.layer.linear import Linear, get_activation
+
+__all__ = [
+    "FeedForward",
+    "MultiheadAttention",
+    "MultiheadCrossAttention",
+    "MultiheadSelfAttention",
+    "TransformerDecoderLayer",
+    "TransformerEncoderLayer",
+    "scaled_dot_product_attention",
+]
+
+
+def scaled_dot_product_attention(q, k, v, mask=None, bias=None):
+    """q [.., H, Lq, D], k/v [.., H, Lk, D]; mask broadcastable [.., H, Lq, Lk] bool."""
+    scale = 1.0 / jnp.sqrt(q.shape[-1])
+    scores = jnp.einsum("...qd,...kd->...qk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    if bias is not None:
+        scores = scores + bias
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        # Rows with no valid key would softmax uniform garbage; zero them.
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)
+        weights = jnp.where(any_valid, weights, 0.0)
+    return jnp.einsum("...qk,...kd->...qd", weights, v.astype(jnp.float32))
+
+
+class _RmsNorm(Module):
+    scale: jax.Array
+
+    @staticmethod
+    def init(dim: int) -> "_RmsNorm":
+        return _RmsNorm(scale=jnp.ones(dim, jnp.float32))
+
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        return (x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), -1, keepdims=True) + 1e-6) * self.scale).astype(x.dtype)
+
+
+class MultiheadAttention(Module):
+    q_proj: Linear
+    k_proj: Linear
+    v_proj: Linear
+    out_proj: Linear
+    q_norm: _RmsNorm | None = None
+    k_norm: _RmsNorm | None = None
+    rope: RotaryEmbedding | None = static_field(default=None)
+    num_heads: int = static_field(default=1)
+
+    @staticmethod
+    def init(
+        key,
+        embed_dim: int,
+        num_heads: int,
+        kv_dim: int | None = None,
+        qk_norm: bool = False,
+        rope: bool = False,
+        compute_dtype: str | None = None,
+    ) -> "MultiheadAttention":
+        if embed_dim % num_heads:
+            raise ValueError("embed_dim must be divisible by num_heads")
+        kv_dim = kv_dim or embed_dim
+        head_dim = embed_dim // num_heads
+        keys = jax.random.split(key, 4)
+        return MultiheadAttention(
+            q_proj=Linear.init(keys[0], embed_dim, embed_dim, compute_dtype=compute_dtype),
+            k_proj=Linear.init(keys[1], kv_dim, embed_dim, compute_dtype=compute_dtype),
+            v_proj=Linear.init(keys[2], kv_dim, embed_dim, compute_dtype=compute_dtype),
+            out_proj=Linear.init(keys[3], embed_dim, embed_dim, compute_dtype=compute_dtype),
+            q_norm=_RmsNorm.init(head_dim) if qk_norm else None,
+            k_norm=_RmsNorm.init(head_dim) if qk_norm else None,
+            rope=RotaryEmbedding(dim=head_dim) if rope else None,
+            num_heads=num_heads,
+        )
+
+    def _split(self, x):
+        *lead, length, _ = x.shape
+        return x.reshape(*lead, length, self.num_heads, -1).swapaxes(-2, -3)  # [.., H, L, D]
+
+    def _merge(self, x):
+        x = x.swapaxes(-2, -3)
+        return x.reshape(*x.shape[:-2], -1)
+
+    def __call__(self, query, keyvalue=None, mask=None, bias=None, q_positions=None, kv_positions=None):
+        """query [.., Lq, C]; keyvalue [.., Lk, Ckv] (defaults to query)."""
+        keyvalue = query if keyvalue is None else keyvalue
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(keyvalue))
+        v = self._split(self.v_proj(keyvalue))
+        if self.q_norm is not None:
+            q, k = self.q_norm(q), self.k_norm(k)
+        if self.rope is not None:
+            if q_positions is None:
+                q_positions = jnp.arange(q.shape[-2])
+            if kv_positions is None:
+                kv_positions = jnp.arange(k.shape[-2])
+            q = self.rope(q, q_positions)
+            k = self.rope(k, kv_positions)
+        if mask is not None and mask.ndim == q.ndim - 1:
+            mask = mask[..., None, :, :]  # add head axis
+        out = self._merge(scaled_dot_product_attention(q, k, v, mask=mask, bias=bias))
+        return self.out_proj(out)
+
+
+MultiheadSelfAttention = MultiheadAttention
+
+
+class MultiheadCrossAttention(MultiheadAttention):
+    def __call__(self, query, keyvalue, **kwargs):
+        if keyvalue is None:
+            raise ValueError("Cross attention requires a key/value input")
+        return super().__call__(query, keyvalue, **kwargs)
+
+
+class FeedForward(Module):
+    up: Linear
+    down: Linear
+    activation: str = static_field(default="gelu")
+    glu: bool = static_field(default=False)
+
+    @staticmethod
+    def init(key, dim: int, hidden_dim: int, activation: str = "gelu", glu: bool = False, compute_dtype=None):
+        k1, k2 = jax.random.split(key)
+        up_dim = hidden_dim * 2 if glu else hidden_dim
+        return FeedForward(
+            up=Linear.init(k1, dim, up_dim, compute_dtype=compute_dtype),
+            down=Linear.init(k2, hidden_dim, dim, compute_dtype=compute_dtype),
+            activation=activation,
+            glu=glu,
+        )
+
+    def __call__(self, x):
+        h = self.up(x)
+        if self.glu:
+            a, b = jnp.split(h, 2, axis=-1)
+            h = a * get_activation(self.activation)(b)
+        else:
+            h = get_activation(self.activation)(h)
+        return self.down(h)
+
+
+class _LayerNorm(Module):
+    scale: jax.Array
+    bias: jax.Array
+
+    @staticmethod
+    def init(dim: int) -> "_LayerNorm":
+        return _LayerNorm(scale=jnp.ones(dim, jnp.float32), bias=jnp.zeros(dim, jnp.float32))
+
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True)
+        return ((x32 - mean) * jax.lax.rsqrt(var + 1e-6) * self.scale + self.bias).astype(x.dtype)
+
+
+class TransformerEncoderLayer(Module):
+    attention: MultiheadAttention
+    feed_forward: FeedForward
+    norm1: _LayerNorm
+    norm2: _LayerNorm
+    norm_mode: str = static_field(default="pre")  # pre | post | none
+
+    @staticmethod
+    def init(key, dim: int, num_heads: int, ff_dim: int | None = None, norm_mode: str = "pre", **attn_kwargs):
+        k1, k2 = jax.random.split(key)
+        return TransformerEncoderLayer(
+            attention=MultiheadAttention.init(k1, dim, num_heads, **attn_kwargs),
+            feed_forward=FeedForward.init(k2, dim, ff_dim or 4 * dim),
+            norm1=_LayerNorm.init(dim),
+            norm2=_LayerNorm.init(dim),
+            norm_mode=norm_mode,
+        )
+
+    def __call__(self, x, mask=None):
+        if self.norm_mode == "pre":
+            x = x + self.attention(self.norm1(x), mask=mask)
+            x = x + self.feed_forward(self.norm2(x))
+        elif self.norm_mode == "post":
+            x = self.norm1(x + self.attention(x, mask=mask))
+            x = self.norm2(x + self.feed_forward(x))
+        else:
+            x = x + self.attention(x, mask=mask)
+            x = x + self.feed_forward(x)
+        return x
+
+
+class TransformerDecoderLayer(Module):
+    self_attention: MultiheadAttention
+    cross_attention: MultiheadCrossAttention
+    feed_forward: FeedForward
+    norm1: _LayerNorm
+    norm2: _LayerNorm
+    norm3: _LayerNorm
+    norm_mode: str = static_field(default="pre")
+
+    @staticmethod
+    def init(key, dim: int, num_heads: int, memory_dim: int | None = None, ff_dim: int | None = None, **kwargs):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return TransformerDecoderLayer(
+            self_attention=MultiheadAttention.init(k1, dim, num_heads, **kwargs),
+            cross_attention=MultiheadCrossAttention.init(k2, dim, num_heads, kv_dim=memory_dim, **kwargs),
+            feed_forward=FeedForward.init(k3, dim, ff_dim or 4 * dim),
+            norm1=_LayerNorm.init(dim),
+            norm2=_LayerNorm.init(dim),
+            norm3=_LayerNorm.init(dim),
+        )
+
+    def __call__(self, x, memory, self_mask=None, cross_mask=None):
+        x = x + self.self_attention(self.norm1(x), mask=self_mask)
+        x = x + self.cross_attention(self.norm2(x), memory, mask=cross_mask)
+        x = x + self.feed_forward(self.norm3(x))
+        return x

@@ -1,0 +1,206 @@
+"""Sliding-window causal self-attention as a recurrent module (counterpart of
+cusrl/nn/module/causal_attn.py:49-403 + nn/utils/attention.py:16-161).
+
+The reference implements this with flex_attention BlockMasks built from done
+flags plus split/pad machinery.  The TPU-native formulation is simpler: the
+recurrent memory is a rolling cache of the last ``window`` *input* tokens plus a
+validity mask::
+
+    memory = {"input_cache": [N, W, C], "cache_mask": [N, W]}
+
+Single-step attention queries the current token against cache+self; sequence
+mode is a ``lax.scan`` of the SAME cell with done-driven cache resets on the
+carry — so causal ∧ window ∧ same-segment constraints hold by construction and
+rollout/batch consistency is structural (no mask bookkeeping at all).  Zeroing
+the memory (reset_memory) invalidates the cache via the zero mask.
+
+RoPE uses window-relative positions (rotary attention is relative by
+construction); ALiBi biases by key distance.  The cache holds detached inputs,
+matching the reference's detached KV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cusrl_tpu.nn.base import Memory, Module, ModuleFactory, static_field
+from cusrl_tpu.nn.layer.encoding import alibi_slopes
+from cusrl_tpu.nn.layer.linear import Linear
+from cusrl_tpu.nn.layer.mha import FeedForward, MultiheadAttention, _LayerNorm
+from cusrl_tpu.nn.layer.gate import make_gate
+
+__all__ = [
+    "CausalMultiheadSelfAttention",
+    "CausalTransformerEncoderLayer",
+    "CausalTransformerEncoderLayerFactory",
+]
+
+
+class CausalMultiheadSelfAttention(Module):
+    mha: MultiheadAttention
+    window: int = static_field(default=16)
+    use_alibi: bool = static_field(default=False)
+    input_dim: int = static_field(default=0)
+
+    is_recurrent = True
+
+    @property
+    def output_dim(self) -> int:
+        return self.input_dim
+
+    def init_memory(self, batch_size, dtype=jnp.float32) -> Memory:
+        if isinstance(batch_size, int):
+            batch_size = (batch_size,)
+        return {
+            "input_cache": jnp.zeros((*batch_size, self.window, self.input_dim), dtype),
+            "cache_mask": jnp.zeros((*batch_size, self.window), dtype),
+        }
+
+    def _alibi_bias(self):
+        if not self.use_alibi:
+            return None
+        slopes = alibi_slopes(self.mha.num_heads)  # [H]
+        distance = jnp.arange(self.window + 1, 0, -1) - 1  # key at slot i is (W-i) steps back
+        return -slopes[:, None, None] * distance[None, None, :]  # [H, 1, W+1]
+
+    def _step(self, x, cache, cache_mask):
+        """x [N, C]; cache [N, W, C]; returns (out [N, C], new cache, new mask)."""
+        tokens = jnp.concatenate([cache, x[:, None]], axis=1)  # [N, W+1, C]
+        valid = jnp.concatenate([cache_mask, jnp.ones((*x.shape[:-1], 1), cache_mask.dtype)], axis=1)
+        mask = valid[:, None, :] > 0.5  # [N, 1(q), W+1]
+        positions = jnp.arange(self.window + 1)
+        out = self.mha(
+            x[:, None],
+            tokens,
+            mask=mask,
+            bias=self._alibi_bias(),
+            q_positions=positions[-1:],
+            kv_positions=positions,
+        )[:, 0]
+        new_cache = jax.lax.stop_gradient(tokens[:, 1:])
+        new_mask = jax.lax.stop_gradient(valid[:, 1:])
+        return out, new_cache, new_mask
+
+    def __call__(self, x, memory: Memory = None, *, sequential: bool = False, done=None, **kwargs):
+        if memory is None:
+            batch = x.shape[1] if sequential else x.shape[0]
+            memory = self.init_memory(batch)
+        if not sequential:
+            out, cache, cache_mask = self._step(x, memory["input_cache"], memory["cache_mask"])
+            return out, {"input_cache": cache, "cache_mask": cache_mask}, {}
+
+        if done is None:
+            done = jnp.zeros((*x.shape[:2], 1), bool)
+
+        def body(carry, xs):
+            cache, cache_mask = carry
+            x_t, done_t = xs
+            out, cache, cache_mask = self._step(x_t, cache, cache_mask)
+            keep = jnp.logical_not(done_t)  # [N, 1]
+            cache = jnp.where(keep[..., None], cache, 0.0)
+            cache_mask = jnp.where(keep, cache_mask, 0.0)
+            return (cache, cache_mask), out
+
+        (cache, cache_mask), outputs = jax.lax.scan(body, (memory["input_cache"], memory["cache_mask"]), (x, done))
+        return outputs, {"input_cache": cache, "cache_mask": cache_mask}, {}
+
+
+class CausalTransformerEncoderLayer(Module):
+    """input proj -> [norm] windowed causal attention [gate] -> [norm] FFN [gate].
+
+    Mirrors the reference layer's pre/post/no-norm modes and gated residuals
+    (causal_attn.py:262-403)."""
+
+    input_proj: Linear | None
+    attention: CausalMultiheadSelfAttention
+    feed_forward: FeedForward
+    norm1: _LayerNorm
+    norm2: _LayerNorm
+    gate1: Module
+    gate2: Module
+    norm_mode: str = static_field(default="pre")
+    input_dim: int = static_field(default=0)
+
+    is_recurrent = True
+
+    @property
+    def output_dim(self) -> int:
+        return self.attention.input_dim
+
+    def init_memory(self, batch_size, dtype=jnp.float32) -> Memory:
+        return self.attention.init_memory(batch_size, dtype)
+
+    def _block(self, h, memory, *, sequential, done):
+        if self.norm_mode == "pre":
+            attn_out, new_memory, _ = self.attention(self.norm1(h), memory, sequential=sequential, done=done)
+            h = self.gate1(h, attn_out)
+            h = self.gate2(h, self.feed_forward(self.norm2(h)))
+        elif self.norm_mode == "post":
+            attn_out, new_memory, _ = self.attention(h, memory, sequential=sequential, done=done)
+            h = self.norm1(self.gate1(h, attn_out))
+            h = self.norm2(self.gate2(h, self.feed_forward(h)))
+        else:
+            attn_out, new_memory, _ = self.attention(h, memory, sequential=sequential, done=done)
+            h = self.gate1(h, attn_out)
+            h = self.gate2(h, self.feed_forward(h))
+        return h, new_memory
+
+    def __call__(self, x, memory: Memory = None, *, sequential: bool = False, done=None, **kwargs):
+        h = self.input_proj(x) if self.input_proj is not None else x
+        h, new_memory = self._block(h, memory, sequential=sequential, done=done)
+        return h, new_memory, {}
+
+
+@dataclasses.dataclass
+class CausalTransformerEncoderLayerFactory(ModuleFactory):
+    embed_dim: int = 128
+    num_heads: int = 4
+    window: int = 16
+    ff_dim: int | None = None
+    norm_mode: str = "pre"
+    gate: str | None = "residual"
+    use_alibi: bool = False
+    use_rope: bool = True
+    qk_norm: bool = False
+    compute_dtype: str | None = "default"
+
+    @property
+    def is_recurrent(self) -> bool:
+        return True
+
+    def __call__(self, input_dim: int, output_dim: int | None, key: jax.Array) -> CausalTransformerEncoderLayer:
+        from cusrl_tpu.utils.config import CONFIG
+
+        dtype = CONFIG.compute_dtype if self.compute_dtype == "default" else self.compute_dtype
+        keys = jax.random.split(key, 5)
+        input_proj = None
+        if input_dim != self.embed_dim:
+            input_proj = Linear.init(keys[0], input_dim, self.embed_dim, compute_dtype=dtype)
+        attention = CausalMultiheadSelfAttention(
+            mha=MultiheadAttention.init(
+                keys[1],
+                self.embed_dim,
+                self.num_heads,
+                qk_norm=self.qk_norm,
+                rope=self.use_rope,
+                compute_dtype=dtype,
+            ),
+            window=self.window,
+            use_alibi=self.use_alibi,
+            input_dim=self.embed_dim,
+        )
+        return CausalTransformerEncoderLayer(
+            input_proj=input_proj,
+            attention=attention,
+            feed_forward=FeedForward.init(keys[2], self.embed_dim, self.ff_dim or 4 * self.embed_dim,
+                                          compute_dtype=dtype),
+            norm1=_LayerNorm.init(self.embed_dim),
+            norm2=_LayerNorm.init(self.embed_dim),
+            gate1=make_gate(self.gate, self.embed_dim, keys[3]),
+            gate2=make_gate(self.gate, self.embed_dim, keys[4]),
+            norm_mode=self.norm_mode,
+            input_dim=input_dim,
+        )

@@ -3,3 +3,4 @@ from cusrl_tpu.sampler.mini_batch_sampler import (
     MiniBatchSampler,
     TemporalMiniBatchSampler,
 )
+from cusrl_tpu.sampler.random_sampler import AutoRandomSampler, RandomSampler, TemporalRandomSampler

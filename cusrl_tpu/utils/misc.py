@@ -54,11 +54,24 @@ def set_global_seed(seed: int | None = None) -> int:
     return process_seed
 
 
+_KEY_COUNTER = [0]
+
+
 def new_key(seed: int | None = None):
-    """Creates a fresh PRNG key from the given or configured process seed."""
+    """Creates a fresh PRNG key from the given or configured process seed.
+
+    Each call folds in a process-wide counter so independently constructed
+    components (e.g. a student agent and its expert) get decorrelated
+    parameters while the overall sequence stays deterministic per seed —
+    matching the advancing-global-RNG semantics of the reference.
+    """
     import jax
 
-    return jax.random.key(CONFIG.process_seed if seed is None else seed)
+    base = jax.random.key(CONFIG.process_seed if seed is None else seed)
+    if seed is not None:
+        return base
+    _KEY_COUNTER[0] += 1
+    return jax.random.fold_in(base, _KEY_COUNTER[0])
 
 
 def to_numpy(value: Any) -> np.ndarray:

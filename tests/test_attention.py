@@ -1,0 +1,77 @@
+"""Sliding-window causal attention tests (counterpart of
+cusrl_test/nn/module/test_causal_attn.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cusrl_tpu.nn.base import reset_memory
+from cusrl_tpu.nn.module.causal_attn import CausalTransformerEncoderLayerFactory
+from tests.helpers import assert_module_consistency
+
+
+def make_layer(**kwargs):
+    defaults = dict(embed_dim=32, num_heads=4, window=6)
+    defaults.update(kwargs)
+    return CausalTransformerEncoderLayerFactory(**defaults)(8, None, jax.random.key(0))
+
+
+def test_sequence_matches_stepwise():
+    layer = make_layer()
+    t, n = 10, 3
+    x = jax.random.normal(jax.random.key(1), (t, n, 8))
+    done = jax.random.uniform(jax.random.key(2), (t, n, 1)) < 0.2
+
+    seq_out, _, _ = layer(x, layer.init_memory(n), sequential=True, done=done)
+
+    memory = layer.init_memory(n)
+    outs = []
+    for step in range(t):
+        out, memory, _ = layer(x[step], memory)
+        memory = reset_memory(memory, done[step])
+        outs.append(out)
+    np.testing.assert_allclose(np.asarray(seq_out), np.asarray(jnp.stack(outs)), atol=1e-5)
+
+
+def test_window_limits_attention():
+    """A token far outside the window must not influence the output."""
+    layer = make_layer(window=2, use_rope=False)
+    n = 1
+    x = jax.random.normal(jax.random.key(3), (8, n, 8))
+    memory = layer.init_memory(n)
+    # Run steps 0..7; output at step 7 must not depend on x[0..4] (window=2).
+    def run(xs):
+        m = layer.init_memory(n)
+        for s in range(8):
+            out, m, _ = layer(xs[s], m)
+        return out
+
+    out_a = run(x)
+    x_perturbed = x.at[0].add(100.0).at[3].add(-50.0)
+    out_b = run(x_perturbed)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-4)
+
+
+def test_done_clears_cache():
+    layer = make_layer(use_rope=False)
+    n = 2
+    x = jax.random.normal(jax.random.key(4), (4, n, 8))
+    memory = layer.init_memory(n)
+    for s in range(3):
+        _, memory, _ = layer(x[s], memory)
+    done = jnp.asarray([[True], [False]])
+    memory = reset_memory(memory, done)
+    # Instance 0's next output must equal a fresh-memory output.
+    out_reset, _, _ = layer(x[3], memory)
+    out_fresh, _, _ = layer(x[3], layer.init_memory(n))
+    np.testing.assert_allclose(np.asarray(out_reset[0]), np.asarray(out_fresh[0]), atol=1e-5)
+    assert not np.allclose(np.asarray(out_reset[1]), np.asarray(out_fresh[1]), atol=1e-5)
+
+
+@pytest.mark.parametrize("kwargs", [{}, {"use_alibi": True, "use_rope": False}, {"gate": "gru"},
+                                    {"norm_mode": "post"}])
+def test_attention_ppo_consistency(kwargs):
+    assert_module_consistency(
+        CausalTransformerEncoderLayerFactory(embed_dim=16, num_heads=2, window=4, **kwargs), atol=2e-4
+    )
