@@ -37,3 +37,26 @@ from cusrl_tpu.nn.module.rnn import Gru, Lstm, Rnn, RnnFactory, VanillaRnn
 from cusrl_tpu.nn.module.sequential import Sequential, SequentialFactory
 from cusrl_tpu.nn.module.simba import Simba, SimbaFactory
 from cusrl_tpu.nn.module.stub import Identity, IdentityFactory, StubModule, StubModuleFactory
+from cusrl_tpu.nn.layer.activation import DetachGradient, GeGlu, ParameterWrapper, SwiGlu
+from cusrl_tpu.nn.layer.encoding import (
+    LearnablePositionalEncoding,
+    RotaryEmbedding,
+    SinusoidalPositionalEncoding,
+    alibi_slopes,
+)
+from cusrl_tpu.nn.layer.gate import GruGate, HighwayGate, InputGate, OutputGate, ResidualGate, make_gate
+from cusrl_tpu.nn.layer.loss import GradientPenaltyLoss, L2RegularizationLoss, NormalNllLoss, gradient_penalty
+from cusrl_tpu.nn.layer.mha import (
+    FeedForward,
+    MultiheadAttention,
+    MultiheadCrossAttention,
+    MultiheadSelfAttention,
+    TransformerDecoderLayer,
+    TransformerEncoderLayer,
+    scaled_dot_product_attention,
+)
+from cusrl_tpu.nn.module.causal_attn import (
+    CausalMultiheadSelfAttention,
+    CausalTransformerEncoderLayer,
+    CausalTransformerEncoderLayerFactory,
+)

@@ -72,6 +72,10 @@ def test_done_clears_cache():
 @pytest.mark.parametrize("kwargs", [{}, {"use_alibi": True, "use_rope": False}, {"gate": "gru"},
                                     {"norm_mode": "post"}])
 def test_attention_ppo_consistency(kwargs):
+    # compute_dtype=None: exact fp32 everywhere so the invariant is bit-tight.
+    # (With bf16 compute, rollout and sequence jits compile to differently fused
+    # kernels and agree only to ~1e-3 — expected low-precision noise.)
     assert_module_consistency(
-        CausalTransformerEncoderLayerFactory(embed_dim=16, num_heads=2, window=4, **kwargs), atol=2e-4
+        CausalTransformerEncoderLayerFactory(embed_dim=16, num_heads=2, window=4, compute_dtype=None, **kwargs),
+        atol=2e-4,
     )
