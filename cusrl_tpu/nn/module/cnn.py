@@ -46,11 +46,10 @@ class Conv2d(Module):
             window_strides=self.stride,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.bias is not None:
-            y = y + self.bias
-        return y.astype(dtype)
+            y = y + self.bias.astype(dtype)
+        return y
 
 
 class Cnn(Module):
