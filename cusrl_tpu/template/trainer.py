@@ -157,8 +157,34 @@ class Trainer:
             save_version_info(self.logger.info_dir)
             with open(os.path.join(self.logger.info_dir, "metadata.json"), "w") as f:
                 json.dump(metadata or {}, f, indent=2, default=str)
+            self._save_agent_info()
         for hook in self.hooks:
             hook.init(self)
+
+    def _save_agent_info(self) -> None:
+        """Structure dump of the agent (objprint equivalent, trainer.py:361):
+        hook pipeline, parameter shapes/counts, environment spec."""
+        try:
+            from cusrl_tpu.nn.base import tree_paths
+
+            lines = [f"agent: {type(self.agent).__name__}", f"spec: {self.agent.environment_spec}", ""]
+            if hasattr(self.agent, "state"):
+                lines.append("hooks:")
+                for hook in self.agent.state.hooks:
+                    lines.append(f"  - {hook.hook_name}: {type(hook).__name__}(active={hook.active})")
+                lines.append("")
+                lines.append("parameters:")
+                total = 0
+                for path, leaf in tree_paths(self.agent.state):
+                    if hasattr(leaf, "shape") and path.startswith(("actor", "critic", "hooks")):
+                        size = int(np.prod(leaf.shape)) if leaf.shape else 1
+                        total += size
+                        lines.append(f"  {path}: {tuple(leaf.shape)}")
+                lines.append(f"total_parameters: {total}")
+            with open(os.path.join(self.logger.info_dir, "agent_info.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+        except Exception:
+            pass
 
     # -- checkpointing ---------------------------------------------------------
 
