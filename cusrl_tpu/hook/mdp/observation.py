@@ -57,6 +57,12 @@ class ObservationNormalization(Hook):
     max_count: float | None = static_field(default=None)
     defer_synchronization: bool = static_field(default=False)  # accepted; no-op on TPU
     renormalize: bool = static_field(default=False)
+    # TPU perf knob: update statistics ONCE per rollout (in pre_update, one
+    # batched pass over [T*N]) instead of twice per step inside the rollout
+    # scan.  Normalization during the rollout then uses the previous rollout's
+    # statistics — a one-iteration lag, usually indistinguishable.  Off by
+    # default to match the reference's per-step update semantics.
+    defer_updates: bool = static_field(default=False)
     frozen: bool = static_field(default=False, kw_only=True)
 
     observation_rms: RunningMeanStd | None = frozen_field(default=None)
@@ -125,8 +131,8 @@ class ObservationNormalization(Hook):
             mean = (mean + m_mean) / 2
         return rms.update_from_stats(mean, var, count)
 
-    def _update(self, observation, state, mask) -> "ObservationNormalization":
-        if self.frozen:
+    def _update(self, observation, state, mask, force: bool = False) -> "ObservationNormalization":
+        if self.frozen or (self.defer_updates and not force):
             return self
         new = self
         if state is not None and new.state_rms is not None:
@@ -183,6 +189,19 @@ class ObservationNormalization(Hook):
             transition["original_next_state"] = next_state
             transition["next_state"] = new.state_rms.normalize(next_state)
         return new, transition
+
+    def pre_update(self, state, rollout):
+        if self.defer_updates and not self.frozen:
+            # One batched statistics pass over the raw rollout (original_* keys).
+            observation = rollout.get("original_next_observation")
+            env_state = rollout.get("original_next_state")
+            new = self
+            if observation is not None:
+                flat_obs = observation.reshape(-1, observation.shape[-1])
+                flat_state = None if env_state is None else env_state.reshape(-1, env_state.shape[-1])
+                new = new._update(flat_obs, flat_state, None, force=True)
+            return new, rollout, {}
+        return self, rollout, {}
 
     def objective(self, state: Any, metadata, batch):
         if self.renormalize:

@@ -22,21 +22,36 @@ __all__ = ["ValueComputation", "ValueLoss"]
 
 
 class ValueComputation(Hook):
-    """Runs the critic during rollout; fills ``next_value`` before the update."""
+    """Runs the critic; fills ``value`` and ``next_value`` for the update.
+
+    TPU optimization (``deferred``, automatic for feedforward critics): instead
+    of evaluating the critic inside every rollout step (24 sequential small
+    batches in the fused scan), values for the WHOLE rollout are computed in
+    pre_update as one ``[T*N]`` batched pass — identical math (same parameters,
+    same normalized observations), an order of magnitude better MXU utilization,
+    and a critic-free rollout scan.  Recurrent critics keep the per-step path.
+    """
 
     termination_value: float = mutable_field(default=0.0)
     memory: Memory = frozen_field(default=None)
     bootstrap_truncated_states: bool = static_field(default=True)
+    deferred: bool | None = static_field(default=None)
 
     def init(self, agent, key):
         hook = self
         if agent.environment_spec.final_state_is_missing:
             hook = hook.replace(bootstrap_truncated_states=False)
+        if hook.deferred is None:
+            hook = hook.replace(deferred=not agent.critic.is_recurrent)
         if agent.critic.is_recurrent:
+            if hook.deferred:
+                raise ValueError("deferred ValueComputation requires a feedforward critic")
             hook = hook.replace(memory=agent.critic.init_memory(agent.parallelism))
         return hook
 
     def post_act(self, state, transition):
+        if self.deferred:
+            return self, transition
         critic = state.critic
         observation = get_first(transition, "state", "observation")
         value, next_memory, _ = critic(observation, self.memory)
@@ -55,7 +70,6 @@ class ValueComputation(Hook):
 
     def pre_update(self, state, rollout):
         critic = state.critic
-        value = rollout["value"]  # [T, N, Dr]
         next_state = get_first(rollout, "next_state", "next_observation")
         terminated = rollout["terminated"]  # [T, N, 1] bool
         truncated = rollout["truncated"]
@@ -69,6 +83,11 @@ class ValueComputation(Hook):
             )
             v, _, _ = critic(flat, flat_memory)
             return v.reshape(t, n, -1)
+
+        if self.deferred:
+            observation = get_first(rollout, "state", "observation")
+            rollout = {**rollout, "value": eval_batched(observation, None)}
+        value = rollout["value"]  # [T, N, Dr]
 
         next_memory = rollout.get("next_critic_memory")
         if self.bootstrap_truncated_states:

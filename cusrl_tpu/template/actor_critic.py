@@ -130,6 +130,12 @@ class ActorCritic(Agent):
             learning_rates=self.optimizer.init_learning_rates(),
             iteration=jnp.zeros((), jnp.int32),
         )
+        # Canonicalize python-scalar leaves (hook mutables) to arrays now: the
+        # first traced update would promote them anyway, and the float->array
+        # treedef change would force a SECOND full compile of every jitted path.
+        self.state = jax.tree.map(
+            lambda leaf: jnp.asarray(leaf, jnp.float32) if isinstance(leaf, float) else leaf, self.state
+        )
         del self._boot_actor, self._boot_critic, self._boot_hooks
 
         for index, hook in enumerate(self.state.hooks):

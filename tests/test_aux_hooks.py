@@ -199,3 +199,16 @@ class PolicyDistillationLossForStage(cusrl_tpu.Hook):
         dist_params, _, _ = state.actor(batch["observation"], None)
         loss = jnp.mean(jnp.square(dist_params["mean"])) * 0.01
         return self, batch, {"stage_aux_loss": loss}, {}
+
+
+def test_observation_normalization_defer_updates():
+    from cusrl_tpu.hook import ObservationNormalization
+
+    env = create_dummy_env(with_state=True)
+    factory = make_factory(normalize_observation=False)
+    factory.register_hook(ObservationNormalization(defer_updates=True), index=1)
+    agent = factory(env.spec)
+    run_training(agent, env, num_updates=2)
+    obs_norm = agent.hook["observation_normalization"]
+    assert float(obs_norm.observation_rms.count) > 0
+    assert float(obs_norm.state_rms.count) > 0
