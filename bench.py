@@ -38,6 +38,10 @@ def main() -> None:
         sampler_epochs=5,
         sampler_mini_batches=4,
         normalize_observation=True,
+        # Documented TPU perf knobs: per-rollout statistics folding (1-iteration
+        # lag) and no original_* buffer copies.
+        defer_normalization_updates=True,
+        store_original_observations=False,
         desired_kl_divergence=0.01,
     )
     agent = factory(env.spec)

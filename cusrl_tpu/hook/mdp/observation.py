@@ -29,6 +29,27 @@ from cusrl_tpu.template.hook import Hook
 __all__ = ["ObservationNanToNum", "ObservationNormalization"]
 
 
+def _zero_acc(dim: int):
+    return (jnp.zeros(dim, jnp.float32), jnp.zeros(dim, jnp.float32), jnp.zeros((), jnp.float32))
+
+
+def _accumulate(acc, data, mask):
+    data = data.astype(jnp.float32).reshape(-1, data.shape[-1])
+    total, sumsq, count = acc
+    if mask is not None:
+        w = mask.astype(jnp.float32).reshape(-1, 1)
+        return (total + jnp.sum(data * w, 0), sumsq + jnp.sum(jnp.square(data) * w, 0), count + jnp.sum(w))
+    return (total + jnp.sum(data, 0), sumsq + jnp.sum(jnp.square(data), 0), count + jnp.asarray(data.shape[0], jnp.float32))
+
+
+def _finalize_acc(acc):
+    total, sumsq, count = acc
+    safe = jnp.maximum(count, 1.0)
+    mean = total / safe
+    var = jnp.maximum(sumsq / safe - jnp.square(mean), 0.0)
+    return mean, var, count
+
+
 class ObservationNanToNum(Hook):
     """Replaces NaN/Inf in observations and states with finite values
     (cusrl/hook/mdp/observation.py:17-56)."""
@@ -57,16 +78,22 @@ class ObservationNormalization(Hook):
     max_count: float | None = static_field(default=None)
     defer_synchronization: bool = static_field(default=False)  # accepted; no-op on TPU
     renormalize: bool = static_field(default=False)
-    # TPU perf knob: update statistics ONCE per rollout (in pre_update, one
-    # batched pass over [T*N]) instead of twice per step inside the rollout
-    # scan.  Normalization during the rollout then uses the previous rollout's
-    # statistics — a one-iteration lag, usually indistinguishable.  Off by
-    # default to match the reference's per-step update semantics.
+    # TPU perf knob: instead of the ~10-kernel Chan merge twice per rollout
+    # step, accumulate raw (sum, sumsq, count) per step and fold them into the
+    # RunningMeanStd ONCE per rollout (pre_update).  Normalization during the
+    # rollout then uses statistics that lag by at most one rollout — usually
+    # indistinguishable.  Off by default to match reference semantics.
     defer_updates: bool = static_field(default=False)
+    # Keep raw values as original_* transition fields (reference always does;
+    # disable to shrink the rollout buffer when nothing consumes them).
+    store_originals: bool = static_field(default=True)
     frozen: bool = static_field(default=False, kw_only=True)
 
     observation_rms: RunningMeanStd | None = frozen_field(default=None)
     state_rms: RunningMeanStd | None = frozen_field(default=None)
+    # Deferred-update accumulators: (sum[C], sumsq[C], count[]) per stream.
+    obs_acc: tuple | None = frozen_field(default=None)
+    state_acc: tuple | None = frozen_field(default=None)
     # Fixed-structure carry state (scan-compatible): last step's done mask and a
     # first-call flag replacing the reference's None-checks.
     last_done: jax.Array | None = frozen_field(default=None)
@@ -109,7 +136,14 @@ class ObservationNormalization(Hook):
                 excluded_indices=spec.state_normalization_excluded_indices,
             )
         n = spec.num_instances
+        obs_acc = state_acc = None
+        if self.defer_updates:
+            obs_acc = _zero_acc(spec.observation_dim)
+            if spec.has_state:
+                state_acc = _zero_acc(spec.state_dim)
         return self.replace(
+            obs_acc=obs_acc,
+            state_acc=state_acc,
             observation_rms=observation_rms,
             state_rms=state_rms,
             mirror_observation=spec.mirror_observation,
@@ -131,9 +165,14 @@ class ObservationNormalization(Hook):
             mean = (mean + m_mean) / 2
         return rms.update_from_stats(mean, var, count)
 
-    def _update(self, observation, state, mask, force: bool = False) -> "ObservationNormalization":
-        if self.frozen or (self.defer_updates and not force):
+    def _update(self, observation, state, mask) -> "ObservationNormalization":
+        if self.frozen:
             return self
+        if self.defer_updates:
+            new = self.replace(obs_acc=_accumulate(self.obs_acc, observation, mask))
+            if state is not None and new.state_acc is not None:
+                new = new.replace(state_acc=_accumulate(new.state_acc, state, mask))
+            return new
         new = self
         if state is not None and new.state_rms is not None:
             new = new.replace(state_rms=new._update_one(new.state_rms, state, new.mirror_state, mask))
@@ -170,10 +209,12 @@ class ObservationNormalization(Hook):
         new = new._update(observation, env_state, mask)
         new = new.replace(first_step=jnp.zeros((), bool))
 
-        transition["original_observation"] = observation
+        if self.store_originals:
+            transition["original_observation"] = observation
         transition["observation"] = new.observation_rms.normalize(observation)
         if new.state_rms is not None and env_state is not None:
-            transition["original_state"] = env_state
+            if self.store_originals:
+                transition["original_state"] = env_state
             transition["state"] = new.state_rms.normalize(env_state)
         return new, transition
 
@@ -183,25 +224,43 @@ class ObservationNormalization(Hook):
         new = self._update(next_observation, next_state, None)
         new = new.replace(last_done=transition["done"])
 
-        transition["original_next_observation"] = next_observation
+        if self.store_originals:
+            transition["original_next_observation"] = next_observation
         transition["next_observation"] = new.observation_rms.normalize(next_observation)
         if new.state_rms is not None and next_state is not None:
-            transition["original_next_state"] = next_state
+            if self.store_originals:
+                transition["original_next_state"] = next_state
             transition["next_state"] = new.state_rms.normalize(next_state)
         return new, transition
 
     def pre_update(self, state, rollout):
-        if self.defer_updates and not self.frozen:
-            # One batched statistics pass over the raw rollout (original_* keys).
-            observation = rollout.get("original_next_observation")
-            env_state = rollout.get("original_next_state")
-            new = self
-            if observation is not None:
-                flat_obs = observation.reshape(-1, observation.shape[-1])
-                flat_state = None if env_state is None else env_state.reshape(-1, env_state.shape[-1])
-                new = new._update(flat_obs, flat_state, None, force=True)
-            return new, rollout, {}
-        return self, rollout, {}
+        if not self.defer_updates or self.frozen:
+            return self, rollout, {}
+        # Fold the rollout's accumulated raw statistics into the RMS once.
+        new = self
+        mean, var, count = _finalize_acc(self.obs_acc)
+        if new.subset_indices is None:
+            obs_rms = new._mirror_merge(new.observation_rms, mean, var, count, new.mirror_observation)
+            new = new.replace(observation_rms=obs_rms)
+        if new.state_acc is not None and new.state_rms is not None:
+            s_mean, s_var, s_count = _finalize_acc(new.state_acc)
+            state_rms = new._mirror_merge(new.state_rms, s_mean, s_var, s_count, new.mirror_state)
+            new = new.replace(state_rms=state_rms)
+        if new.subset_indices is not None:
+            new = new._copy_subset_stats()
+        new = new.replace(
+            obs_acc=_zero_acc(new.observation_rms.num_channels),
+            state_acc=None if new.state_acc is None else _zero_acc(new.state_rms.num_channels),
+        )
+        return new, rollout, {}
+
+    def _mirror_merge(self, rms, mean, var, count, mirror):
+        if mirror is not None:
+            m_mean = mirror(mean)
+            m_var = jnp.abs(mirror(var))
+            var = (var + m_var) / 2 + jnp.square(mean - m_mean) / 4
+            mean = (mean + m_mean) / 2
+        return rms.update_from_stats(mean, var, count)
 
     def objective(self, state: Any, metadata, batch):
         if self.renormalize:

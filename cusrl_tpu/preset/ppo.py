@@ -36,6 +36,8 @@ __all__ = ["PpoAgentFactory", "RecurrentPpoAgentFactory", "ppo_hook_suite"]
 def ppo_hook_suite(
     orthogonal_init: bool = True,
     normalize_observation: bool = False,
+    defer_normalization_updates: bool = False,
+    store_original_observations: bool = True,
     gae_gamma: float = 0.99,
     gae_lamda: float = 0.95,
     gae_lamda_value: float | None = None,
@@ -52,7 +54,13 @@ def ppo_hook_suite(
 ) -> list[Hook]:
     hooks: list[Hook | None] = [
         ModuleInitialization(init_actor=orthogonal_init, init_critic=orthogonal_init),
-        ObservationNormalization() if normalize_observation else None,
+        (
+            ObservationNormalization(
+                defer_updates=defer_normalization_updates, store_originals=store_original_observations
+            )
+            if normalize_observation
+            else None
+        ),
         ValueComputation(),
         GeneralizedAdvantageEstimation(gamma=gae_gamma, lamda=gae_lamda, lamda_value=gae_lamda_value),
         AdvantageNormalization() if normalize_advantage else None,
@@ -94,6 +102,8 @@ class PpoAgentFactory(AgentFactory):
     orthogonal_init: bool = True
     init_distribution_std: float | None = None
     normalize_observation: bool = False
+    defer_normalization_updates: bool = False
+    store_original_observations: bool = True
     gae_gamma: float = 0.99
     gae_lamda: float = 0.95
     gae_lamda_value: float | None = None
@@ -115,6 +125,8 @@ class PpoAgentFactory(AgentFactory):
         return ppo_hook_suite(
             orthogonal_init=self.orthogonal_init,
             normalize_observation=self.normalize_observation,
+            defer_normalization_updates=self.defer_normalization_updates,
+            store_original_observations=self.store_original_observations,
             gae_gamma=self.gae_gamma,
             gae_lamda=self.gae_lamda,
             gae_lamda_value=self.gae_lamda_value,

@@ -229,13 +229,8 @@ class ActorCritic(Agent):
         state, rollout, metrics_pre = self._composite.pre_update(state, rollout)
 
         capacity, parallelism = jax.tree.leaves(rollout["action"])[0].shape[:2]
-        static_meta, meta_arrays, indices = self.sampler.make_plan(key, capacity, parallelism, rollout)
 
-        def train_step(carry: AgentState, xs):
-            meta_i, idx = xs
-            metadata = {**static_meta, **meta_i}
-            batch = self.sampler.gather(rollout, idx)
-
+        def train_step(carry: AgentState, metadata: dict, batch: dict):
             view = params_view(carry)
             params, rest = partition(view)
 
@@ -270,11 +265,48 @@ class ActorCritic(Agent):
             step_metrics.update(m_post_obj)
             return st, step_metrics
 
-        if indices is not None:
-            state, stacked = jax.lax.scan(train_step, state, (meta_arrays, indices))
+        # TPU fast path: one shuffle-gather per epoch, minibatches as contiguous
+        # slices (random-index gathers per minibatch are HBM-unfriendly).
+        epoch_plan = None
+        if hasattr(self.sampler, "make_epoch_plan"):
+            epoch_plan = self.sampler.make_epoch_plan(key, capacity, parallelism, rollout)
+
+        if epoch_plan is not None:
+            static_meta, epoch_perms, batch_size = epoch_plan
+            num_mb = static_meta["total_mini_batches"]
+            flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rollout)
+
+            def epoch_body(carry, xs):
+                epoch_index, perm = xs
+                shuffled = jax.tree.map(lambda x: x[perm], flat)
+
+                def mb_body(inner_carry, mb_index):
+                    batch = jax.tree.map(
+                        lambda x: jax.lax.dynamic_slice_in_dim(x, mb_index * batch_size, batch_size, 0),
+                        shuffled,
+                    )
+                    metadata = {**static_meta, "epoch_index": epoch_index, "mini_batch_index": mb_index}
+                    return train_step(inner_carry, metadata, batch)
+
+                return jax.lax.scan(mb_body, carry, jnp.arange(num_mb))
+
+            num_epochs = static_meta["total_epochs"]
+            state, stacked = jax.lax.scan(epoch_body, state, (jnp.arange(num_epochs), epoch_perms))
             metrics_steps = {k: jnp.mean(v) for k, v in stacked.items()}
         else:
-            metrics_steps = {}
+            static_meta, meta_arrays, indices = self.sampler.make_plan(key, capacity, parallelism, rollout)
+
+            def flat_step(carry, xs):
+                meta_i, idx = xs
+                metadata = {**static_meta, **meta_i}
+                batch = self.sampler.gather(rollout, idx)
+                return train_step(carry, metadata, batch)
+
+            if indices is not None:
+                state, stacked = jax.lax.scan(flat_step, state, (meta_arrays, indices))
+                metrics_steps = {k: jnp.mean(v) for k, v in stacked.items()}
+            else:
+                metrics_steps = {}
 
         state, metrics_post = self._composite.post_update(state, rollout, snapshot)
         state = state.replace(iteration=state.iteration + 1)

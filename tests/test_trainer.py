@@ -132,3 +132,14 @@ def test_checkpoint_file_roundtrip(tmp_path):
     assert loaded["iteration"] == 7
     np.testing.assert_array_equal(loaded["agent"]["a.b"], np.ones((2, 2)))
     assert loaded["stats"]["total_steps"] == 5
+
+
+def test_trainer_scan_driver_recurrent(tmp_path):
+    env = DummyJaxEnvironment(observation_dim=6, action_dim=2, num_instances=4)
+    factory = cusrl_tpu.RecurrentPpoAgentFactory(
+        num_steps_per_update=8, rnn_hidden_size=16, mlp_hidden_dims=(16,),
+        sampler_epochs=1, sampler_mini_batches=2, normalize_observation=True,
+    )
+    trainer = Trainer(environment=env, agent_factory=factory, num_iterations=2, verbose=False)
+    trainer.run_training_loop()
+    assert trainer.agent.iteration == 2
