@@ -143,3 +143,28 @@ def test_trainer_scan_driver_recurrent(tmp_path):
     trainer = Trainer(environment=env, agent_factory=factory, num_iterations=2, verbose=False)
     trainer.run_training_loop()
     assert trainer.agent.iteration == 2
+
+
+def test_player_recurrent_agent():
+    env = DummyEnvironment(observation_dim=6, action_dim=2, num_instances=3)
+    factory = cusrl_tpu.RecurrentPpoAgentFactory(
+        num_steps_per_update=8, rnn_hidden_size=16, mlp_hidden_dims=(16,),
+        sampler_epochs=1, sampler_mini_batches=1,
+    )
+    player = Player(environment=env, agent_factory=factory, num_steps=12, verbose=False)
+    summary = player.run_playing_loop()
+    assert np.isfinite(summary["step_reward"])
+
+
+def test_tensorboard_logger_backend(tmp_path):
+    from cusrl_tpu.template.logger import make_logger_factory
+
+    factory = make_logger_factory("tensorboard", log_dir=str(tmp_path))
+    logger = factory("tb_test")
+    logger.log_scalars({"Train/loss": 1.0}, 0)
+    logger.log_scalars({"Train/loss": 2.0}, 1)
+    logger.close()
+    import glob
+
+    events = glob.glob(str(tmp_path / "*" / "events.out.tfevents.*"))
+    assert events, "tensorboard event file not written"
