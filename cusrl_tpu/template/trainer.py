@@ -135,6 +135,8 @@ class Trainer:
         verbose: bool = True,
         hooks: tuple[TrainerHook, ...] = (),
         metadata: dict[str, Any] | None = None,
+        profile_dir: str | None = None,
+        profile_iterations: tuple[int, int] = (3, 6),
     ):
         self.environment = environment() if callable(environment) and not hasattr(environment, "spec") else environment
         self.agent: Agent = agent_factory.from_environment(self.environment)
@@ -145,6 +147,8 @@ class Trainer:
         self.timer = Timer(synchronize=True)
         self.hooks = tuple(hooks)
         self.logger = logger_factory(experiment_name) if logger_factory is not None else None
+        self.profile_dir = profile_dir
+        self.profile_iterations = profile_iterations
 
         self._is_jax_env = isinstance(self.environment, JaxEnvironment)
         self._scan_driver = None
@@ -210,9 +214,16 @@ class Trainer:
     def run_training_loop(self) -> None:
         start = self.agent.iteration
         for iteration in range(start, self.num_iterations):
+            # Optional device tracing (SURVEY §5): capture a window of
+            # iterations with jax.profiler for TensorBoard's trace viewer.
+            if self.profile_dir is not None and iteration == self.profile_iterations[0]:
+                jax.profiler.start_trace(self.profile_dir)
             for hook in self.hooks:
                 hook.pre_iteration(self)
             metrics = self._rollout_and_update()
+            if self.profile_dir is not None and iteration + 1 == self.profile_iterations[1]:
+                jax.block_until_ready(self.agent.state)
+                jax.profiler.stop_trace()
             metrics = self._log_iteration(iteration, metrics)
             for hook in self.hooks:
                 hook.post_iteration(self, metrics)
