@@ -44,6 +44,11 @@ class CausalMultiheadSelfAttention(Module):
     window: int = static_field(default=16)
     use_alibi: bool = static_field(default=False)
     input_dim: int = static_field(default=0)
+    # "batched": sequence mode computes all T queries in ONE masked SDPA over
+    # [cache + sequence] keys (MXU-efficient, the training hot path).
+    # "scan": sequence mode is a lax.scan of the single-step cell (the
+    # definitionally-correct reference used to verify the batched mask).
+    sequence_mode: str = static_field(default="batched")
 
     is_recurrent = True
 
@@ -95,6 +100,9 @@ class CausalMultiheadSelfAttention(Module):
         if done is None:
             done = jnp.zeros((*x.shape[:2], 1), bool)
 
+        if self.sequence_mode == "batched":
+            return self._sequence_batched(x, memory, done)
+
         def body(carry, xs):
             cache, cache_mask = carry
             x_t, done_t = xs
@@ -106,6 +114,62 @@ class CausalMultiheadSelfAttention(Module):
 
         (cache, cache_mask), outputs = jax.lax.scan(body, (memory["input_cache"], memory["cache_mask"]), (x, done))
         return outputs, {"input_cache": cache, "cache_mask": cache_mask}, {}
+
+    def _sequence_batched(self, x, memory, done):
+        """All T queries in one masked SDPA over [cache ++ sequence] keys.
+
+        Mask semantics (provably identical to the scan cell):
+          * window+causal: query t (combined position W+t) sees combined
+            positions [t, W+t];
+          * cache validity: cache slot i carries cache_mask AND belongs to the
+            pre-rollout episode (segment 0);
+          * segment: x[t'] visible to query t iff no done occurred in [t', t-1]
+            (seg[t] = number of dones strictly before step t).
+        """
+        t_len, batch = x.shape[:2]
+        window = self.window
+        cache, cache_mask = memory["input_cache"], memory["cache_mask"]
+
+        tokens = jnp.concatenate([cache, jnp.swapaxes(x, 0, 1)], axis=1)  # [N, W+T, C]
+        done2 = done.reshape(t_len, batch)
+        seg = jnp.cumsum(jnp.pad(done2.astype(jnp.int32), ((1, 0), (0, 0)))[:-1], axis=0)  # [T, N] dones before t
+
+        q_pos = window + jnp.arange(t_len)  # combined positions of queries
+        k_pos = jnp.arange(window + t_len)
+        in_window = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] >= q_pos[:, None] - window)  # [T, W+T]
+
+        # Per-instance key validity/segments in combined index space.
+        k_is_cache = k_pos < window  # [W+T]
+        k_seg = jnp.concatenate([jnp.zeros((window, batch), jnp.int32), seg], axis=0)  # [W+T, N]
+        k_valid = jnp.concatenate([jnp.swapaxes(cache_mask, 0, 1) > 0.5, jnp.ones((t_len, batch), bool)], axis=0)
+
+        same_seg = seg[:, None, :] == k_seg[None, :, :]  # [T, W+T, N]
+        mask = in_window[:, :, None] & same_seg & k_valid[None, :, :]  # [T, W+T, N]
+        mask = jnp.moveaxis(mask, -1, 0)  # [N, T, W+T]
+
+        bias = None
+        if self.use_alibi:
+            slopes = alibi_slopes(self.mha.num_heads)  # [H]
+            distance = (q_pos[:, None] - k_pos[None, :]).astype(jnp.float32)  # [T, W+T]
+            bias = -slopes[:, None, None] * distance[None]  # [H, T, W+T]
+
+        out = self.mha(
+            jnp.swapaxes(x, 0, 1),  # [N, T, C]
+            tokens,
+            mask=mask,
+            bias=bias,
+            q_positions=q_pos,
+            kv_positions=k_pos,
+        )  # [N, T, C]
+        outputs = jnp.swapaxes(out, 0, 1)
+
+        # Final memory: last W combined tokens, valid iff same segment as the
+        # post-rollout episode and originally valid.
+        final_seg = seg[-1] + done2[-1].astype(jnp.int32)  # [N]
+        final_valid = k_valid & (k_seg == final_seg[None, :])  # [W+T, N]
+        new_cache = jax.lax.stop_gradient(tokens[:, -window:])
+        new_mask = jax.lax.stop_gradient(jnp.swapaxes(final_valid[-window:], 0, 1).astype(cache_mask.dtype))
+        return outputs, {"input_cache": new_cache, "cache_mask": new_mask}, {}
 
 
 class CausalTransformerEncoderLayer(Module):

@@ -12,7 +12,8 @@ from tests.helpers import assert_module_consistency
 
 
 def make_layer(**kwargs):
-    defaults = dict(embed_dim=32, num_heads=4, window=6)
+    # fp32 compute: these tests assert exact numerical equivalences.
+    defaults = dict(embed_dim=32, num_heads=4, window=6, compute_dtype=None)
     defaults.update(kwargs)
     return CausalTransformerEncoderLayerFactory(**defaults)(8, None, jax.random.key(0))
 
@@ -79,3 +80,47 @@ def test_attention_ppo_consistency(kwargs):
         CausalTransformerEncoderLayerFactory(embed_dim=16, num_heads=2, window=4, compute_dtype=None, **kwargs),
         atol=2e-4,
     )
+
+
+def test_batched_sequence_mode_matches_scan_mode():
+    """The batched masked-SDPA sequence path must reproduce the scan cell."""
+    from cusrl_tpu.nn.module.causal_attn import CausalMultiheadSelfAttention
+    import dataclasses
+
+    layer = make_layer(use_rope=True, use_alibi=False, compute_dtype=None)
+    attn = layer.attention  # batched by default
+    scan_attn = attn.replace(sequence_mode="scan")
+
+    t, n = 12, 3
+    x = jax.random.normal(jax.random.key(10), (t, n, attn.input_dim))
+    done = jax.random.uniform(jax.random.key(11), (t, n, 1)) < 0.25
+    # Non-trivial initial cache: run a few single steps first.
+    memory = attn.init_memory(n)
+    for s in range(3):
+        _, memory, _ = attn(jax.random.normal(jax.random.key(20 + s), (n, attn.input_dim)), memory)
+
+    out_b, mem_b, _ = attn(x, memory, sequential=True, done=done)
+    out_s, mem_s, _ = scan_attn(x, memory, sequential=True, done=done)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_s), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mem_b["cache_mask"]), np.asarray(mem_s["cache_mask"]), atol=1e-6
+    )
+    # Valid cache entries must agree (invalid slots may differ; both masked out).
+    valid = np.asarray(mem_b["cache_mask"]) > 0.5
+    np.testing.assert_allclose(
+        np.asarray(mem_b["input_cache"])[valid], np.asarray(mem_s["input_cache"])[valid], atol=1e-5
+    )
+
+
+def test_batched_sequence_mode_with_alibi():
+    from cusrl_tpu.nn.module.causal_attn import CausalMultiheadSelfAttention
+
+    layer = make_layer(use_rope=False, use_alibi=True, compute_dtype=None)
+    attn = layer.attention
+    scan_attn = attn.replace(sequence_mode="scan")
+    t, n = 8, 2
+    x = jax.random.normal(jax.random.key(30), (t, n, attn.input_dim))
+    done = jax.random.uniform(jax.random.key(31), (t, n, 1)) < 0.3
+    out_b, _, _ = attn(x, attn.init_memory(n), sequential=True, done=done)
+    out_s, _, _ = scan_attn(x, attn.init_memory(n), sequential=True, done=done)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_s), atol=1e-5)
