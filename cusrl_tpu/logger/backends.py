@@ -10,6 +10,13 @@ __all__ = ["Swanlab", "Tensorboard", "Wandb"]
 
 class Tensorboard(Logger):
     def _setup_backend(self, **kwargs) -> None:
+        # Force tensorboard's TF stub: lazily importing real TensorFlow into a
+        # process already hosting jax+torch segfaults, and event writing only
+        # needs the stub (tensorboard.compat falls back when `notf` imports).
+        import sys
+        import types
+
+        sys.modules.setdefault("tensorboard.compat.notf", types.ModuleType("tensorboard.compat.notf"))
         try:
             from torch.utils.tensorboard import SummaryWriter
         except ImportError as error:  # pragma: no cover
