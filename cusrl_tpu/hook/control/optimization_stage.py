@@ -59,6 +59,9 @@ class OptimizationStage(Hook):
             stage_learning_rates=optimizer.init_learning_rates(),
         )
 
+    def schedule_is_noop(self, iteration: int) -> bool:
+        return all(hook.schedule_is_noop(iteration) for hook in self.stage_hooks)
+
     def apply_schedule(self, iteration: int, agent=None):
         hooks = []
         changed = False

@@ -27,6 +27,9 @@ class HookParameterSchedule(Hook):
         agent.get_hook(self.target_hook)  # raises if missing
         return self if self.name else self.replace(name=f"{self.target_hook}_{self.parameter}_schedule")
 
+    def schedule_is_noop(self, iteration: int) -> bool:
+        return False
+
     def apply_schedule(self, iteration: int, agent=None):
         target = agent.get_hook(self.target_hook)
         value = self.scheduler(iteration)
@@ -42,6 +45,9 @@ class HookActivationSchedule(Hook):
     def init(self, agent, key):
         agent.get_hook(self.target_hook)
         return self if self.name else self.replace(name=f"{self.target_hook}_activation_schedule")
+
+    def schedule_is_noop(self, iteration: int) -> bool:
+        return False
 
     def apply_schedule(self, iteration: int, agent=None):
         target = agent.get_hook(self.target_hook)

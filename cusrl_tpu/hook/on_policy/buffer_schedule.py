@@ -18,6 +18,9 @@ class OnPolicyBufferCapacitySchedule(Hook):
     schedule: Callable[[int], int] = static_field(default=None)
     training_only: bool = static_field(default=True, kw_only=True)
 
+    def schedule_is_noop(self, iteration: int) -> bool:
+        return False
+
     def apply_schedule(self, iteration: int, agent=None):
         capacity = int(self.schedule(iteration))
         agent.num_steps_per_update = capacity

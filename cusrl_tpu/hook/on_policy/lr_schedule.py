@@ -88,10 +88,13 @@ class _KLDivergenceBasedLRSchedule(Hook):
         return new_self, state, metrics
 
     def apply_schedule(self, iteration: int, agent=None):
-        if self.warmup_iterations <= 0 or iteration > self.warmup_iterations:
+        if self.schedule_is_noop(iteration):
             return self
         progress = min(iteration, self.warmup_iterations) / self.warmup_iterations
         return self.replace(lr_scale=self.initial_scale + (1.0 - self.initial_scale) * progress)
+
+    def schedule_is_noop(self, iteration: int) -> bool:
+        return self.warmup_iterations <= 0 or iteration > self.warmup_iterations
 
 
 class ThresholdLRSchedule(_KLDivergenceBasedLRSchedule):

@@ -86,6 +86,7 @@ class ActorCritic(Agent):
         name: str = "Agent",
     ):
         super().__init__(environment_spec=environment_spec, num_steps_per_update=num_steps_per_update, name=name)
+        self._packed_driver = None  # set by ScanRolloutDriver's packed fast path
         self.value_dim = environment_spec.reward_dim
         self.buffer_capacity = num_steps_per_update
         self.actor_factory = actor_factory
@@ -152,15 +153,39 @@ class ActorCritic(Agent):
         self._update_jit = None
         self._apply_schedules(0)
 
+    # -- state access (packed-carry aware) -------------------------------------
+    #
+    # When the fused scan driver runs in packed-carry mode, the authoritative
+    # training state lives in a few flat device buffers; ``self._state`` is a
+    # lazily-synchronized view.  Reading ``state`` synchronizes on demand;
+    # writing it pulls any pending device updates first, then invalidates the
+    # packed buffers so the next iteration re-packs from the written value.
+
+    @property
+    def state(self) -> "AgentState":
+        driver = getattr(self, "_packed_driver", None)
+        if driver is not None and driver.packed_dirty:
+            driver.sync_to_agent()
+        return self._state
+
+    @state.setter
+    def state(self, value: "AgentState") -> None:
+        driver = getattr(self, "_packed_driver", None)
+        if driver is not None and driver.packed_dirty:
+            driver.sync_to_agent()
+        self._state = value
+        if driver is not None:
+            driver.invalidate_packed()
+
     # -- convenient views ------------------------------------------------------
 
     @property
     def actor(self) -> Actor:
-        return self.state.actor if hasattr(self, "state") else self._boot_actor
+        return self.state.actor if hasattr(self, "_state") else self._boot_actor
 
     @property
     def critic(self) -> Value:
-        return self.state.critic if hasattr(self, "state") else self._boot_critic
+        return self.state.critic if hasattr(self, "_state") else self._boot_critic
 
     @property
     def hook(self):
@@ -169,7 +194,7 @@ class ActorCritic(Agent):
     def replace_modules(self, actor: Actor | None = None, critic: Value | None = None) -> None:
         """Swaps in new actor/critic pytrees (used by initialization hooks).
         Works both during construction (boot phase) and afterwards."""
-        if hasattr(self, "state"):
+        if hasattr(self, "_state"):
             updates = {}
             if actor is not None:
                 updates["actor"] = actor
@@ -183,7 +208,7 @@ class ActorCritic(Agent):
                 self._boot_critic = critic
 
     def get_hook(self, hook_name: str) -> Hook:
-        if hasattr(self, "state"):
+        if hasattr(self, "_state"):
             return find_hook(self.state.hooks, hook_name)[1]
         return find_hook(tuple(self._boot_hooks) + tuple(getattr(self, "_boot_pending", ())), hook_name)[1]
 
@@ -392,7 +417,13 @@ class ActorCritic(Agent):
     # -- schedules / inference mode -------------------------------------------
 
     def _apply_schedules(self, iteration: int) -> None:
-        hooks = list(self.state.hooks)
+        # Probe on the (possibly stale) view first: schedules depend only on the
+        # iteration and static config, and in the common case nothing fires —
+        # the packed-carry fast path then skips a full state synchronization.
+        probe_hooks = self._state.hooks
+        if all(h.schedule_is_noop(iteration) for h in probe_hooks if h.active):
+            return
+        hooks = list(self.state.hooks)  # force sync; schedules mutate for real
         changed = False
         for index, hook in enumerate(hooks):
             if not hook.active:

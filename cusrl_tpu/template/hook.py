@@ -83,6 +83,12 @@ class Hook(Module):
     def apply_schedule(self, iteration: int, agent: "ActorCritic | None" = None) -> "Hook":
         return self
 
+    def schedule_is_noop(self, iteration: int) -> bool:
+        """True when apply_schedule(iteration) provably changes nothing.  Lets
+        the packed-carry fast path skip per-iteration state synchronization;
+        hooks overriding apply_schedule should override this too."""
+        return type(self).apply_schedule is Hook.apply_schedule
+
     def should_update(self, agent: "ActorCritic") -> bool:
         return True
 

@@ -21,13 +21,25 @@ __all__ = ["ScanRolloutDriver"]
 
 
 class ScanRolloutDriver:
-    def __init__(self, agent, environment: JaxEnvironment):
+    def __init__(self, agent, environment: JaxEnvironment, packed: bool = True):
         self.agent = agent
         self.environment = environment
         self._env_state = None
         self._cum_reward = None
         self._cum_length = None
         self._rollout_jit = jax.jit(self._rollout, static_argnames=("num_steps",), donate_argnums=(0, 1, 4, 5))
+        # Packed-carry fast path: the training carry (agent state, env state,
+        # memory, stats) crosses the jit boundary as a few flat per-dtype
+        # buffers instead of hundreds of leaves.  Dispatch cost is per-ARGUMENT
+        # (~0.3 ms/leaf over remote-TPU transports — a 60 ms floor for a
+        # 200-leaf AgentState), so packing removes most of the per-iteration
+        # overhead.  The agent's ``state`` property synchronizes lazily.
+        self._use_packed = packed
+        self._packer = None
+        self._packed = None
+        self._packed_valid = False
+        self._agent_stale = False
+        agent._packed_driver = self
 
     # -- traced ---------------------------------------------------------------
 
@@ -96,6 +108,44 @@ class ScanRolloutDriver:
         fused = jax.jit(iteration, donate_argnums=(0, 1, 4, 5))
         return fused, metric_keys
 
+    # -- packed-carry coherence (consumed by ActorCritic.state property) -------
+
+    @property
+    def packed_dirty(self) -> bool:
+        return self._agent_stale
+
+    def invalidate_packed(self) -> None:
+        self._packed_valid = False
+
+    def _carry_tuple(self):
+        return (
+            self.agent._state,
+            self._env_state,
+            self._observation,
+            self._obs_state,
+            self.agent.actor_memory,
+            (self._cum_reward, self._cum_length),
+        )
+
+    def _store_carry(self, carry) -> None:
+        (
+            self.agent._state,
+            self._env_state,
+            self._observation,
+            self._obs_state,
+            self.agent.actor_memory,
+            (self._cum_reward, self._cum_length),
+        ) = carry
+
+    def sync_to_agent(self) -> None:
+        """Unpacks the authoritative device buffers back into the agent/driver
+        host-side views (one many-output dispatch — called lazily/rarely)."""
+        if not self._agent_stale:
+            return
+        self._agent_stale = False
+        carry = self._unpack_jit(self._packed)
+        self._store_carry(carry)
+
     def collect_and_update(self, num_steps: int):
         """One full training iteration (rollout + update) as a single jitted
         call; returns (aggregates [3], stacked metric values [K], metric keys) —
@@ -103,28 +153,56 @@ class ScanRolloutDriver:
         Buffer is bypassed entirely — transitions never leave the XLA program."""
         agent = self.agent
         self._ensure_initialized()
-        if not hasattr(self, "_fused") or self._fused_steps != num_steps:
-            self._fused, self._fused_keys = self._build_fused(num_steps)
-            self._fused_steps = num_steps
+        if getattr(agent, "_mesh", None) is not None:
+            # Sharded runs keep the unpacked carry: flat-buffer packing would
+            # erase the per-leaf NamedShardings (and dispatch overhead is a
+            # single-controller concern anyway).
+            self._use_packed = False
+        if not self._use_packed:
+            if not hasattr(self, "_fused") or self._fused_steps != num_steps:
+                self._fused, self._fused_keys = self._build_fused(num_steps)
+                self._fused_steps = num_steps
+            carry, aggregates, stacked = self._fused(*self._carry_tuple(), agent.next_key())
+            self._store_carry(carry)
+            return aggregates, stacked, tuple(self._fused_keys)
 
-        carry, aggregates, stacked = self._fused(
-            agent.state,
-            self._env_state,
-            self._observation,
-            self._obs_state,
-            agent.actor_memory,
-            (self._cum_reward, self._cum_length),
-            agent.next_key(),
-        )
-        (
-            agent.state,
-            self._env_state,
-            self._observation,
-            self._obs_state,
-            agent.actor_memory,
-            (self._cum_reward, self._cum_length),
-        ) = carry
+        if self._packer is None or getattr(self, "_fused_steps", None) != num_steps:
+            self._build_packed(num_steps)
+        if not self._packed_valid:
+            if self._agent_stale:
+                raise RuntimeError("packed carry invalidated while device-side updates were pending")
+            self._packed = self._pack_jit(self._carry_tuple())
+            self._packed_valid = True
+
+        self._packed, aggregates, stacked = self._fused_packed(self._packed, agent.next_key())
+        self._agent_stale = True
         return aggregates, stacked, tuple(self._fused_keys)
+
+    def _build_packed(self, num_steps: int) -> None:
+        from cusrl_tpu.utils.packing import TreePacker
+
+        example = self._carry_tuple()
+        packer = TreePacker(example)
+        self._packer = packer
+        self._pack_jit = jax.jit(packer.pack)
+        self._unpack_jit = jax.jit(packer.unpack)
+        metric_keys: list[str] = []
+        self._fused_steps = num_steps
+        self._fused_keys = metric_keys
+
+        def iteration(buffers, key):
+            carry = packer.unpack(buffers)
+            rollout_key, update_key = jax.random.split(key)
+            new_carry, transitions, aggregates = self._rollout(*carry, rollout_key, num_steps=num_steps)
+            agent_state = new_carry[0]
+            agent_state, metrics = self.agent.update_body(agent_state, transitions, update_key)
+            if not metric_keys:
+                metric_keys.extend(sorted(metrics))
+            stacked = jnp.stack([jnp.asarray(metrics[k], jnp.float32).reshape(()) for k in sorted(metrics)])
+            new_carry = (agent_state, *new_carry[1:])
+            return packer.pack(new_carry), aggregates, stacked
+
+        self._fused_packed = jax.jit(iteration, donate_argnums=(0,))
 
     # -- host -----------------------------------------------------------------
 
