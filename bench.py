@@ -56,14 +56,19 @@ def main() -> None:
         driver.collect_and_update(steps_per_update)
         agent.iteration += 1
 
+    def barrier():
+        # Block on the packed carry (reading agent.state would force an
+        # unpack dispatch); fall back to the state for the unpacked path.
+        jax.block_until_ready(driver._packed if driver._packed is not None else agent.state)
+
     for _ in range(warmup_iters):
         one_iteration()
-    jax.block_until_ready(agent.state)
+    barrier()
 
     start = time.perf_counter()
     for _ in range(timed_iters):
         one_iteration()
-    jax.block_until_ready(agent.state)
+    barrier()
     elapsed = time.perf_counter() - start
 
     steps_per_s = timed_iters * steps_per_update * num_envs / elapsed

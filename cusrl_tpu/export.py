@@ -31,7 +31,7 @@ import numpy as np
 
 from cusrl_tpu.nn.base import Memory, reset_memory
 
-__all__ = ["ExportGraph", "InferencePolicy", "export_agent", "load_exported_policy"]
+__all__ = ["ExportGraph", "InferencePolicy", "InferenceWrapper", "export_agent", "load_exported_policy"]
 
 
 class ExportGraph:
@@ -287,3 +287,7 @@ def load_exported_policy(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
     return jax.tree.map(jnp.asarray, payload["actor"])
+
+
+# Reference-compatible alias (cusrl/nn/module/inference.py InferenceWrapper).
+InferenceWrapper = InferencePolicy

@@ -88,3 +88,7 @@ class ActorFactory:
         backbone = self.backbone_factory(input_dim, None, backbone_key)
         distribution = self.distribution_factory(backbone.output_dim, action_dim, dist_key)
         return Actor(backbone=backbone, distribution=distribution)
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+Actor.Factory = ActorFactory

@@ -268,3 +268,7 @@ class CausalTransformerEncoderLayerFactory(ModuleFactory):
             norm_mode=self.norm_mode,
             input_dim=input_dim,
         )
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+CausalTransformerEncoderLayer.Factory = CausalTransformerEncoderLayerFactory

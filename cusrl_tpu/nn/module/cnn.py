@@ -111,3 +111,7 @@ class CnnFactory(ModuleFactory):
             input_shape=self.input_shape,
             output_dim=out_dim,
         )
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+Cnn.Factory = CnnFactory

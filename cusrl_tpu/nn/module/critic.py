@@ -70,3 +70,7 @@ class ValueFactory:
         backbone = self.backbone_factory(backbone_input, None, backbone_key)
         head = Linear.init(head_key, backbone.output_dim, value_dim)
         return Value(backbone=backbone, head=head, action_aware=self.action_aware)
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+Value.Factory = ValueFactory

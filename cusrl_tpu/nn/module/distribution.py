@@ -244,3 +244,9 @@ class AdaptiveNormalDistFactory(DistributionFactory):
 class OneHotCategoricalDistFactory(DistributionFactory):
     def __call__(self, input_dim, output_dim, key):
         return OneHotCategoricalDist(mean_head=Linear.init(key, input_dim, output_dim))
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+NormalDist.Factory = NormalDistFactory
+AdaptiveNormalDist.Factory = AdaptiveNormalDistFactory
+OneHotCategoricalDist.Factory = OneHotCategoricalDistFactory

@@ -68,3 +68,7 @@ class MlpFactory(ModuleFactory):
             input_dim=input_dim,
             output_dim=dims[-1],
         )
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+Mlp.Factory = MlpFactory

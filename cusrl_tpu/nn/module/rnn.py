@@ -216,3 +216,9 @@ class RnnFactory(ModuleFactory):
             num_layers=self.num_layers,
             compute_dtype=self.compute_dtype,
         )
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+Gru.Factory = RnnFactory
+Lstm.Factory = RnnFactory
+VanillaRnn.Factory = RnnFactory

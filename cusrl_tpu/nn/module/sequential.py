@@ -67,3 +67,7 @@ class SequentialFactory(ModuleFactory):
             modules.append(module)
             dim = module.output_dim
         return Sequential(modules=tuple(modules))
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+Sequential.Factory = SequentialFactory

@@ -90,3 +90,7 @@ class SimbaFactory(ModuleFactory):
             input_dim=input_dim,
             output_dim=h,
         )
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+Simba.Factory = SimbaFactory

@@ -47,3 +47,8 @@ class StubModuleFactory(ModuleFactory):
 class IdentityFactory(ModuleFactory):
     def __call__(self, input_dim: int, output_dim: int | None, key: jax.Array) -> Identity:
         return Identity(input_dim=input_dim)
+
+
+# Reference-style Factory attributes (cusrl module.Factory contract).
+StubModule.Factory = StubModuleFactory
+Identity.Factory = IdentityFactory
