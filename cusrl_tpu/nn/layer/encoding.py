@@ -10,7 +10,13 @@ import jax.numpy as jnp
 
 from cusrl_tpu.nn.base import Module, static_field
 
-__all__ = ["LearnablePositionalEncoding", "RotaryEmbedding", "SinusoidalPositionalEncoding", "alibi_slopes"]
+__all__ = [
+    "LearnablePositionalEncoding",
+    "RotaryEmbedding",
+    "Sinusoidal2dPositionalEncoding",
+    "SinusoidalPositionalEncoding",
+    "alibi_slopes",
+]
 
 
 class SinusoidalPositionalEncoding(Module):
@@ -71,3 +77,15 @@ def alibi_slopes(num_heads: int) -> jax.Array:
         extra = slopes_power_of_2(2 * closest)[0::2][: num_heads - closest]
         values = values + extra
     return jnp.asarray(values, jnp.float32)
+
+
+class Sinusoidal2dPositionalEncoding(Module):
+    """2-D sinusoidal encoding for grid inputs (cusrl/nn/layer/encoding.py 2D
+    variants): half the channels encode rows, half encode columns."""
+
+    dim: int = static_field(default=0)
+    max_wavelength: float = static_field(default=10000.0)
+
+    def __call__(self, rows: jax.Array, cols: jax.Array) -> jax.Array:
+        half = SinusoidalPositionalEncoding(dim=self.dim // 2, max_wavelength=self.max_wavelength)
+        return jnp.concatenate([half(rows), half(cols)], axis=-1)
