@@ -2,3 +2,4 @@ from cusrl_tpu.environment.gym import GymEnvAdapter, GymVectorEnvAdapter, make_g
 from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
 from cusrl_tpu.environment.isaaclab import IsaacLabEnvAdapter, IsaacLabEnvLauncher, TrainerCfg, make_isaaclab_env
 from cusrl_tpu.environment.mjlab import MjlabEnvAdapter, MjlabPlayer, make_mjlab_env
+from cusrl_tpu.environment.native import NativeCartPoleEnv, build_native_library
