@@ -238,6 +238,8 @@ class ScanRolloutDriver:
         (transitions: dict of [T, N, ...] device arrays, aggregates [3])."""
         agent = self.agent
         self._ensure_initialized()
+        if self._agent_stale:
+            self.sync_to_agent()  # env/memory host views must be fresh here
         carry, transitions, aggregates = self._rollout_jit(
             agent.state,
             self._env_state,
