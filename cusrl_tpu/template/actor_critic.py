@@ -444,6 +444,19 @@ class ActorCritic(Agent):
     def set_inference_mode(self, deterministic: bool = True) -> None:
         super().set_inference_mode(deterministic)
         self._composite = HookComposite(inference_mode=True)
+        # Hooks may adapt to inference (e.g. ObservationNormalization freezes
+        # its statistics while still normalizing).
+        hooks = list(self.state.hooks)
+        changed = False
+        for index, hook in enumerate(hooks):
+            adapt = getattr(hook, "set_inference_mode", None)
+            if adapt is not None:
+                new_hook = adapt(True)
+                if new_hook is not hook:
+                    hooks[index] = new_hook
+                    changed = True
+        if changed:
+            self.state = self.state.replace(hooks=tuple(hooks))
         self._act_jit = self._step_jit = None
 
     def resize_buffer(self, capacity: int) -> None:
