@@ -171,6 +171,9 @@ class Player:
 
         if episode_rewards:
             self.metrics.record(episode_reward=episode_rewards, episode_length=episode_lengths)
+        get_metrics = getattr(env, "get_metrics", None)
+        if get_metrics is not None:
+            self.metrics.record(get_metrics())
         summary = self.metrics.summary()
         if self.verbose and distributed.is_main_process():
             width = max((len(k) for k in summary), default=10) + 2

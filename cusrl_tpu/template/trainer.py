@@ -310,6 +310,10 @@ class Trainer:
         steps *= distributed.world_size()
         info = {f"Train/{k}": v for k, v in metrics.items()}
         info.update(self.stats.summary())
+        # Simulator-reported metrics (IsaacLab/mjlab extras["log"] parity).
+        get_metrics = getattr(self.environment, "get_metrics", None)
+        if get_metrics is not None:
+            info.update({f"Environment/{k}": v for k, v in get_metrics().items()})
         info.update(
             {
                 "Perf/environment_time": env_time,
