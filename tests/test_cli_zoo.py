@@ -91,3 +91,25 @@ def test_cli_export(tmp_path, monkeypatch):
     ])
     assert (tmp_path / "exported" / "policy.pkl").exists()
     assert (tmp_path / "exported" / "manifest.yaml").exists()
+
+
+def test_cli_inherit_args_replays_recorded_overrides(tmp_path, monkeypatch):
+    from cusrl_tpu.__main__ import main
+    from cusrl_tpu.cli.common import resolve_overrides
+    from cusrl_tpu.template.trial import Trial
+    from cusrl_tpu.zoo.registry import get_experiment
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train", "-env", "CartPole-v1", "-alg", "ppo",
+        "--num-iterations", "1", "--logger", "none", "--seed", "0",
+        "--log-dir", str(tmp_path / "logs"), "--quiet",
+        "--", "--agent.lr", "7e-4", "--agent.sampler_epochs", "1",
+    ])
+    trial = Trial(str(tmp_path / "logs"))
+    assert trial.load_metadata()["overrides"]["agent.lr"] == "7e-4"
+
+    factory = get_experiment("CartPole-v1", "ppo").to_playing_factory()
+    replayed, applied = resolve_overrides(factory, [], trial, inherit=True)
+    assert replayed.agent.lr == pytest.approx(7e-4)
+    assert applied["agent.lr"] == "7e-4"
