@@ -43,6 +43,9 @@ def main() -> None:
         defer_normalization_updates=True,
         store_original_observations=False,
         desired_kl_divergence=0.01,
+        # Evaluate actor+critic backbones as one stacked matmul chain in the
+        # update (gradient-equivalent; tests/test_joint_eval.py).
+        fuse_actor_critic_evaluation=True,
     )
     agent = factory(env.spec)
     if len(jax.devices()) > 1:

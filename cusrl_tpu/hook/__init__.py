@@ -6,6 +6,7 @@ from cusrl_tpu.hook.on_policy.buffer_schedule import OnPolicyBufferCapacitySched
 from cusrl_tpu.hook.on_policy.common import OnPolicyPreparation
 from cusrl_tpu.hook.on_policy.gae import GeneralizedAdvantageEstimation
 from cusrl_tpu.hook.on_policy.gradient_clipping import GradientClipping
+from cusrl_tpu.hook.on_policy.joint_eval import JointPolicyValueEvaluation
 from cusrl_tpu.hook.on_policy.lr_schedule import (
     AdaptiveLRSchedule,
     MiniBatchWiseLRSchedule,

@@ -24,13 +24,18 @@ class OnPolicyPreparation(Hook):
 
     def objective(self, state, metadata, batch):
         actor = state.actor
-        memory = batch.get("actor_memory")
-        temporal = metadata.get("temporal", False)
-        if temporal and memory is not None:
-            memory = jax.tree.map(lambda m: m[0], memory)
-        action_dist, _, _aux = actor(
-            batch["observation"], memory, sequential=temporal, done=batch.get("done")
-        )
+        if "curr_action_dist" in batch:
+            # Precomputed by JointPolicyValueEvaluation (stacked actor+critic pass).
+            action_dist = batch["curr_action_dist"]
+            _aux = batch.get("actor_intermediate", {})
+        else:
+            memory = batch.get("actor_memory")
+            temporal = metadata.get("temporal", False)
+            if temporal and memory is not None:
+                memory = jax.tree.map(lambda m: m[0], memory)
+            action_dist, _, _aux = actor(
+                batch["observation"], memory, sequential=temporal, done=batch.get("done")
+            )
         action_logp = actor.compute_logp(action_dist, batch["action"])
         entropy = actor.compute_entropy(action_dist)
         logp_ratio = action_logp - batch["action_logp"]

@@ -84,14 +84,23 @@ class ValueComputation(Hook):
             v, _, _ = critic(flat, flat_memory)
             return v.reshape(t, n, -1)
 
+        bootstrap = None
         if self.deferred:
             observation = get_first(rollout, "state", "observation")
-            rollout = {**rollout, "value": eval_batched(observation, None)}
+            if self.bootstrap_truncated_states:
+                # One 2·T·N critic pass instead of two T·N passes.
+                stacked = eval_batched(jnp.concatenate([observation, next_state], axis=0), None)
+                horizon = observation.shape[0]
+                rollout = {**rollout, "value": stacked[:horizon]}
+                bootstrap = stacked[horizon:]
+            else:
+                rollout = {**rollout, "value": eval_batched(observation, None)}
         value = rollout["value"]  # [T, N, Dr]
 
         next_memory = rollout.get("next_critic_memory")
         if self.bootstrap_truncated_states:
-            bootstrap = eval_batched(next_state, next_memory)
+            if bootstrap is None:
+                bootstrap = eval_batched(next_state, next_memory)
         else:
             last_memory = None if next_memory is None else jax.tree.map(lambda m: m[-1], next_memory)
             last_value, _, _ = critic(next_state[-1], last_memory)
@@ -129,14 +138,18 @@ class ValueLoss(Hook):
 
     def objective(self, state, metadata, batch):
         critic = state.critic
-        observation = get_first(batch, "state", "observation")
-        memory = batch.get("critic_memory")
-        if metadata.get("temporal") and memory is not None:
-            memory = jax.tree.map(lambda m: m[0], memory)
-        curr_value, _, _ = critic(
-            observation, memory, sequential=metadata.get("temporal", False), done=batch.get("done")
-        )
-        batch["curr_value"] = curr_value
+        if "curr_value" in batch:
+            # Precomputed by JointPolicyValueEvaluation (stacked actor+critic pass).
+            curr_value = batch["curr_value"]
+        else:
+            observation = get_first(batch, "state", "observation")
+            memory = batch.get("critic_memory")
+            if metadata.get("temporal") and memory is not None:
+                memory = jax.tree.map(lambda m: m[0], memory)
+            curr_value, _, _ = critic(
+                observation, memory, sequential=metadata.get("temporal", False), done=batch.get("done")
+            )
+            batch["curr_value"] = curr_value
 
         value = batch["value"]
         returns = batch["return"]

@@ -15,6 +15,7 @@ from cusrl_tpu.hook.on_policy.advantage import AdvantageNormalization
 from cusrl_tpu.hook.on_policy.common import OnPolicyPreparation
 from cusrl_tpu.hook.on_policy.gae import GeneralizedAdvantageEstimation
 from cusrl_tpu.hook.on_policy.gradient_clipping import GradientClipping
+from cusrl_tpu.hook.on_policy.joint_eval import JointPolicyValueEvaluation
 from cusrl_tpu.hook.on_policy.lr_schedule import AdaptiveLRSchedule
 from cusrl_tpu.hook.on_policy.ppo import EntropyLoss, PpoSurrogateLoss
 from cusrl_tpu.hook.on_policy.stats import OnPolicyStatistics
@@ -51,6 +52,7 @@ def ppo_hook_suite(
     grad_clip_groups: dict[str, float] | None = None,
     desired_kl_divergence: float | None = None,
     max_kl_divergence: float | None = None,
+    fuse_actor_critic_evaluation: bool = False,
 ) -> list[Hook]:
     hooks: list[Hook | None] = [
         ModuleInitialization(init_actor=orthogonal_init, init_critic=orthogonal_init),
@@ -64,6 +66,7 @@ def ppo_hook_suite(
         ValueComputation(),
         GeneralizedAdvantageEstimation(gamma=gae_gamma, lamda=gae_lamda, lamda_value=gae_lamda_value),
         AdvantageNormalization() if normalize_advantage else None,
+        JointPolicyValueEvaluation() if fuse_actor_critic_evaluation else None,
         ValueLoss(weight=value_loss_weight, loss_clip=value_loss_clip),
         OnPolicyPreparation(),
         PpoSurrogateLoss(clip_ratio=surrogate_clip_ratio, weight=surrogate_loss_weight),
@@ -117,6 +120,9 @@ class PpoAgentFactory(AgentFactory):
     grad_clip_groups: dict[str, float] = dataclasses.field(default_factory=dict)
     desired_kl_divergence: float | None = None
     max_kl_divergence: float | None = None
+    # TPU perf knob: evaluate actor+critic backbones as ONE stacked matmul chain
+    # in the update (requires same-shape feedforward MLP backbones).
+    fuse_actor_critic_evaluation: bool = False
 
     def _backbone_factory(self, hidden_dims) -> MlpFactory:
         return MlpFactory(hidden_dims=tuple(hidden_dims), activation=self.activation_fn, ends_with_activation=True)
@@ -140,6 +146,7 @@ class PpoAgentFactory(AgentFactory):
             grad_clip_groups=self.grad_clip_groups,
             desired_kl_divergence=self.desired_kl_divergence,
             max_kl_divergence=self.max_kl_divergence,
+            fuse_actor_critic_evaluation=self.fuse_actor_critic_evaluation,
         )
 
     def to_underlying(self) -> ActorCriticFactory:

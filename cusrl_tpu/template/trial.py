@@ -31,9 +31,13 @@ class Trial:
     def _resolve_trial_dir(self, checkpoint) -> str:
         if isinstance(checkpoint, str) and os.path.isfile(checkpoint):
             return os.path.dirname(os.path.dirname(os.path.abspath(checkpoint)))
-        root = self.log_dir
-        if self.experiment_name:
-            root = os.path.join(root, self.experiment_name)
+        if isinstance(checkpoint, str) and os.path.isdir(checkpoint):
+            # --checkpoint <experiment dir or run dir> (cusrl/template/trial.py:63-109).
+            root = os.path.abspath(checkpoint)
+        else:
+            root = self.log_dir
+            if self.experiment_name:
+                root = os.path.join(root, self.experiment_name)
         if not os.path.isdir(root):
             raise FileNotFoundError(f"No such experiment directory: {root}")
         latest = os.path.join(root, "latest")

@@ -1,0 +1,169 @@
+"""JointPolicyValueEvaluation: the stacked actor+critic pass must be numerically
+equivalent to the separate OnPolicyPreparation/ValueLoss forward passes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cusrl_tpu
+from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+from cusrl_tpu.hook.on_policy.joint_eval import JointPolicyValueEvaluation
+from cusrl_tpu.template.hook import find_hook
+from cusrl_tpu.template.rollout import ScanRolloutDriver
+
+
+def make_agent(seed=0, **kwargs):
+    cusrl_tpu.set_global_seed(seed)
+    from cusrl_tpu.utils import misc
+
+    misc._KEY_COUNTER[0] = 0
+    env = VelocityLocomotionEnv(num_instances=32, observation_dim=16, action_dim=4, seed=1)
+    defaults = dict(
+        num_steps_per_update=8,
+        actor_hidden_dims=(32, 32),
+        critic_hidden_dims=(32, 32),
+        sampler_epochs=2,
+        sampler_mini_batches=2,
+        normalize_observation=True,
+    )
+    defaults.update(kwargs)
+    agent = cusrl_tpu.PpoAgentFactory(**defaults)(env.spec)
+    return env, agent
+
+
+def test_forward_equivalence():
+    _, agent = make_agent(fuse_actor_critic_evaluation=True)
+    state = agent.state
+    index, hook = find_hook(state.hooks, "joint_policy_value_evaluation")
+    assert isinstance(hook, JointPolicyValueEvaluation)
+
+    observation = jax.random.normal(jax.random.PRNGKey(3), (64, 16), jnp.float32)
+    batch = {"observation": observation}
+    _, batch, obj, _ = hook.objective(state, {}, batch)
+    assert obj is None
+
+    ref_dist, _, ref_aux = state.actor(observation)
+    ref_value, _, _ = state.critic(observation)
+    for key in ref_dist:
+        np.testing.assert_allclose(
+            np.asarray(batch["curr_action_dist"][key], np.float32),
+            np.asarray(ref_dist[key], np.float32),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(batch["curr_value"]), np.asarray(ref_value), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch["actor_intermediate"]["backbone.output"], np.float32),
+        np.asarray(ref_aux["backbone.output"], np.float32),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def run_iters(env, agent, n=2):
+    driver = ScanRolloutDriver(agent, env)
+    for _ in range(n):
+        driver.collect_and_update(agent.num_steps_per_update)
+    jax.block_until_ready(agent.state)
+    return np.asarray(agent.state.actor.backbone.layers[0].weight)
+
+
+def test_gradient_equivalence():
+    """The fused objective fold must produce the same losses AND the same
+    gradients for every parameter leaf as the separate forward passes (any real
+    discrepancy shows up here undamped; training-trajectory comparisons only
+    bound Adam-amplified rounding noise)."""
+    from cusrl_tpu.nn.base import combine, partition
+    from cusrl_tpu.template.actor_critic import params_view, state_with_view
+    from cusrl_tpu.template.hook import HookComposite
+
+    _, agent = make_agent(fuse_actor_critic_evaluation=True)
+    state = agent.state
+    composite = HookComposite()
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    observation = jax.random.normal(keys[0], (64, 16), jnp.float32)
+    action = jax.random.normal(keys[1], (64, 4), jnp.float32)
+    dist, _, _ = state.actor(observation)
+    batch = {
+        "observation": observation,
+        "action": action,
+        "action_logp": state.actor.compute_logp(dist, action),
+        "action_dist": dist,
+        "advantage": jax.random.normal(keys[2], (64, 1), jnp.float32),
+        "return": jax.random.normal(keys[3], (64, 1), jnp.float32),
+        "value": jax.random.normal(keys[4], (64, 1), jnp.float32),
+    }
+    metadata = {
+        "temporal": False,
+        "epoch_index": 0,
+        "mini_batch_index": 0,
+        "total_epochs": 1,
+        "total_mini_batches": 1,
+    }
+
+    def grads_for(st0):
+        params, rest = partition(params_view(st0))
+
+        def loss_fn(p):
+            st = state_with_view(st0, combine(p, rest))
+            _, _, objectives, _ = composite.objective(st, metadata, dict(batch))
+            return sum(jnp.asarray(v, jnp.float32) for v in objectives.values()), objectives
+
+        (loss, objectives), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, objectives, grads
+
+    index, joint = find_hook(state.hooks, "joint_policy_value_evaluation")
+    hooks_off = list(state.hooks)
+    hooks_off[index] = joint.with_active(False)
+
+    loss_fused, obj_fused, grads_fused = grads_for(state)
+    loss_plain, obj_plain, grads_plain = grads_for(state.replace(hooks=tuple(hooks_off)))
+
+    np.testing.assert_allclose(np.asarray(loss_fused), np.asarray(loss_plain), rtol=1e-6)
+    assert set(obj_fused) == set(obj_plain)
+    # The static `active` flag lives in the treedef, so compare leaf-by-leaf.
+    fused_leaves = jax.tree_util.tree_flatten_with_path(grads_fused)[0]
+    plain_leaves = jax.tree_util.tree_flatten_with_path(grads_plain)[0]
+    assert len(fused_leaves) == len(plain_leaves)
+    for (path_f, leaf_f), (path_p, leaf_p) in zip(fused_leaves, plain_leaves):
+        assert jax.tree_util.keystr(path_f) == jax.tree_util.keystr(path_p)
+        np.testing.assert_allclose(
+            np.asarray(leaf_f),
+            np.asarray(leaf_p),
+            rtol=1e-4,
+            atol=1e-6,
+            err_msg=jax.tree_util.keystr(path_f),
+        )
+
+
+def test_training_equivalence_bf16_loose():
+    """Under bfloat16, einsum/dot backward passes round differently and Adam's
+    sign-like steps amplify that; bound the drift at a few step sizes."""
+    env0, plain = make_agent(fuse_actor_critic_evaluation=False)
+    w_plain = run_iters(env0, plain)
+    env1, fused = make_agent(fuse_actor_critic_evaluation=True)
+    w_fused = run_iters(env1, fused)
+    np.testing.assert_allclose(w_fused, w_plain, atol=8e-3, rtol=0)
+
+
+def test_rejects_recurrent_backbones():
+    cusrl_tpu.set_global_seed(0)
+    env = VelocityLocomotionEnv(num_instances=8, observation_dim=16, action_dim=4, seed=1)
+    factory = cusrl_tpu.RecurrentPpoAgentFactory(
+        num_steps_per_update=8, fuse_actor_critic_evaluation=True
+    )
+    with pytest.raises(ValueError, match="fusable"):
+        factory(env.spec)
+
+
+def test_rejects_mismatched_shapes():
+    with pytest.raises(ValueError, match="fusable"):
+        make_agent(
+            fuse_actor_critic_evaluation=True,
+            actor_hidden_dims=(32, 32),
+            critic_hidden_dims=(64, 32),
+        )
