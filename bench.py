@@ -45,7 +45,7 @@ def main() -> None:
         desired_kl_divergence=0.01,
         # Evaluate actor+critic backbones as one stacked matmul chain in the
         # update (gradient-equivalent; tests/test_joint_eval.py).
-        fuse_actor_critic_evaluation=True,
+        fuse_actor_critic_evaluation=os.environ.get("BENCH_FUSE", "1") == "1",
     )
     agent = factory(env.spec)
     if len(jax.devices()) > 1:

@@ -101,8 +101,9 @@ class MultiheadAttention(Module):
         x = x.swapaxes(-2, -3)
         return x.reshape(*x.shape[:-2], -1)
 
-    def __call__(self, query, keyvalue=None, mask=None, bias=None, q_positions=None, kv_positions=None):
-        """query [.., Lq, C]; keyvalue [.., Lk, Ckv] (defaults to query)."""
+    def project_qkv(self, query, keyvalue=None, q_positions=None, kv_positions=None):
+        """Projections + QK-norm + RoPE only: returns per-head q/k/v [.., H, L, D].
+        Used by the banded/Pallas attention path, which runs its own SDPA."""
         keyvalue = query if keyvalue is None else keyvalue
         q = self._split(self.q_proj(query))
         k = self._split(self.k_proj(keyvalue))
@@ -116,6 +117,15 @@ class MultiheadAttention(Module):
                 kv_positions = jnp.arange(k.shape[-2])
             q = self.rope(q, q_positions)
             k = self.rope(k, kv_positions)
+        return q, k, v
+
+    def merge_output(self, out):
+        """Head merge + output projection for externally computed attention."""
+        return self.out_proj(self._merge(out))
+
+    def __call__(self, query, keyvalue=None, mask=None, bias=None, q_positions=None, kv_positions=None):
+        """query [.., Lq, C]; keyvalue [.., Lk, Ckv] (defaults to query)."""
+        q, k, v = self.project_qkv(query, keyvalue, q_positions, kv_positions)
         if mask is not None and mask.ndim == q.ndim - 1:
             mask = mask[..., None, :, :]  # add head axis
         out = self._merge(scaled_dot_product_attention(q, k, v, mask=mask, bias=bias))

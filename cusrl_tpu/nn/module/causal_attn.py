@@ -45,10 +45,14 @@ class CausalMultiheadSelfAttention(Module):
     use_alibi: bool = static_field(default=False)
     input_dim: int = static_field(default=0)
     # "batched": sequence mode computes all T queries in ONE masked SDPA over
-    # [cache + sequence] keys (MXU-efficient, the training hot path).
+    # [cache + sequence] keys (MXU-efficient for short rollouts).
+    # "banded": the Pallas flash-window kernel (nn/kernels/banded_attention.py)
+    # — only the non-empty [T, BQ+W] band is computed, Θ(T·W) instead of Θ(T²);
+    # the training hot path for long sequences (XLA banded fallback off-TPU).
     # "scan": sequence mode is a lax.scan of the single-step cell (the
-    # definitionally-correct reference used to verify the batched mask).
-    sequence_mode: str = static_field(default="batched")
+    # definitionally-correct reference used to verify the batched/banded masks).
+    # "auto": banded when the band saves ≥2× the key axis, else batched.
+    sequence_mode: str = static_field(default="auto")
 
     is_recurrent = True
 
@@ -100,7 +104,15 @@ class CausalMultiheadSelfAttention(Module):
         if done is None:
             done = jnp.zeros((*x.shape[:2], 1), bool)
 
-        if self.sequence_mode == "batched":
+        mode = self.sequence_mode
+        if mode == "auto":
+            t_len, window = x.shape[0], self.window
+            block = min(128, -(-t_len // 8) * 8)
+            band = (1 + -(-window // block)) * block
+            mode = "banded" if band * 2 <= window + t_len else "batched"
+        if mode == "banded":
+            return self._sequence_banded(x, memory, done)
+        if mode == "batched":
             return self._sequence_batched(x, memory, done)
 
         def body(carry, xs):
@@ -114,6 +126,51 @@ class CausalMultiheadSelfAttention(Module):
 
         (cache, cache_mask), outputs = jax.lax.scan(body, (memory["input_cache"], memory["cache_mask"]), (x, done))
         return outputs, {"input_cache": cache, "cache_mask": cache_mask}, {}
+
+    def _sequence_banded(self, x, memory, done):
+        """Pallas flash-window path: same mask semantics as ``_sequence_batched``
+        (verified equivalent in tests/test_banded_attention.py) but only the
+        non-empty [T, BQ+W] score band is ever computed or materialized."""
+        from cusrl_tpu.nn.kernels import banded_window_attention
+
+        t_len, batch = x.shape[:2]
+        window = self.window
+        cache, cache_mask = memory["input_cache"], memory["cache_mask"]
+
+        tokens = jnp.concatenate([cache, jnp.swapaxes(x, 0, 1)], axis=1)  # [N, W+T, C]
+        done2 = done.reshape(t_len, batch)
+        seg = jnp.cumsum(jnp.pad(done2.astype(jnp.int32), ((1, 0), (0, 0)))[:-1], axis=0)  # [T, N]
+
+        q_pos = window + jnp.arange(t_len)
+        k_pos = jnp.arange(window + t_len)
+        q, k, v = self.mha.project_qkv(
+            jnp.swapaxes(x, 0, 1), tokens, q_positions=q_pos, kv_positions=k_pos
+        )  # [N, H, T|W+T, D]
+
+        q_seg = jnp.swapaxes(seg, 0, 1)  # [N, T]
+        k_seg = jnp.concatenate([jnp.zeros((batch, window), jnp.int32), q_seg], axis=1)
+        k_valid = jnp.concatenate(
+            [(cache_mask > 0.5).astype(jnp.int32), jnp.ones((batch, t_len), jnp.int32)], axis=1
+        )
+        slopes = alibi_slopes(self.mha.num_heads) if self.use_alibi else None
+
+        out = banded_window_attention(
+            q, k, v, q_seg, k_seg, k_valid, window=window, slopes=slopes
+        )  # [N, H, T, D] fp32
+        outputs = jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
+
+        new_cache, new_mask = self._final_memory(tokens, k_valid, k_seg, seg, done2, cache_mask)
+        return outputs, {"input_cache": new_cache, "cache_mask": new_mask}, {}
+
+    def _final_memory(self, tokens, k_valid, k_seg, seg, done2, cache_mask):
+        """Last W combined tokens, valid iff originally valid and in the
+        post-rollout episode's segment."""
+        window = self.window
+        final_seg = seg[-1] + done2[-1].astype(jnp.int32)  # [N]
+        final_valid = (k_valid > 0) & (k_seg == final_seg[:, None])  # [N, W+T]
+        new_cache = jax.lax.stop_gradient(tokens[:, -window:])
+        new_mask = jax.lax.stop_gradient(final_valid[:, -window:].astype(cache_mask.dtype))
+        return new_cache, new_mask
 
     def _sequence_batched(self, x, memory, done):
         """All T queries in one masked SDPA over [cache ++ sequence] keys.
