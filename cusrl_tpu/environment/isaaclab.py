@@ -96,7 +96,15 @@ class IsaacLabEnvLauncher(IsaacLabEnvAdapter):
     """Boots the Isaac Sim AppLauncher + Hydra config in-process, then wraps the
     created env (isaaclab.py:138-201)."""
 
-    def __init__(self, task: str, num_envs: int | None = None, headless: bool = True, **kwargs: Any):
+    def __init__(
+        self,
+        task: str,
+        num_envs: int | None = None,
+        headless: bool = True,
+        play: bool = False,
+        extensions: Sequence[str] = (),
+        **kwargs: Any,
+    ):
         try:
             from isaaclab.app import AppLauncher
         except ImportError as error:  # pragma: no cover
@@ -105,14 +113,25 @@ class IsaacLabEnvLauncher(IsaacLabEnvAdapter):
         parser = argparse.ArgumentParser()
         AppLauncher.add_app_launcher_args(parser)
         args, _ = parser.parse_known_args([])
-        args.headless = headless
+        args.headless = headless and not play
         self._app = AppLauncher(args).app
+
+        import importlib
 
         import gymnasium as gym
         import isaaclab_tasks  # noqa: F401  (registers tasks)
         from isaaclab_tasks.utils.parse_cfg import parse_env_cfg
 
+        for extension in extensions:
+            # Extra task providers (e.g. robot_lab) register their gym tasks on import.
+            importlib.import_module(f"{extension}.tasks")
+
         env_cfg = parse_env_cfg(task, num_envs=num_envs)
+        if play:
+            # Evaluation configs: smaller scenes, no curriculum/pushes where defined.
+            for attr in ("curriculum", "events"):
+                if hasattr(env_cfg, attr) and hasattr(getattr(env_cfg, attr), "disable_for_play"):
+                    getattr(env_cfg, attr).disable_for_play()
         for key, value in kwargs.items():
             setattr(env_cfg, key, value)
         super().__init__(gym.make(task, cfg=env_cfg))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from cusrl_tpu.template.environment import EnvironmentSpec, JaxEnvironment
 
-__all__ = ["VelocityLocomotionEnv"]
+__all__ = ["VelocityLocomotionEnv", "demonstration_dataset"]
 
 
 class VelocityLocomotionEnv(JaxEnvironment):
@@ -107,3 +107,39 @@ class VelocityLocomotionEnv(JaxEnvironment):
             "steps": jnp.where(done, 0, steps),
         }
         return new_state, reward, terminated, truncated, {}
+
+
+def demonstration_dataset(
+    num_transitions: int = 65536,
+    state_indices: tuple[int, ...] = tuple(range(16)),
+    num_instances: int = 256,
+    seed: int = 1,
+) -> jax.Array:
+    """Expert (obs_t, obs_{t+1}) transition pairs for the AMP discriminator:
+    a scripted velocity-tracking controller (least-squares inverse of the
+    actuation matrix) rolled out on `VelocityLocomotionEnv` — the on-device
+    stand-in for the reference's reference-motion datasets
+    (cusrl/hook/auxiliary/amp.py:16-168, environment_spec.demonstration_sampler).
+    """
+    env = VelocityLocomotionEnv(num_instances=num_instances, seed=seed)
+    steps = -(-num_transitions // num_instances)
+    inverse_actuation = jnp.linalg.pinv(env._actuation.T)  # (2, A)
+    idx = jnp.asarray(state_indices)
+
+    def controller(env_state):
+        desired_accel = (env_state["command"] - env_state["vel"]) * (5.0 / (env.dt * 10.0))
+        return jnp.clip(desired_accel @ inverse_actuation, -1.0, 1.0)
+
+    def body(carry, key):
+        env_state = carry
+        obs, _ = env.observe_fn(env_state)
+        action = controller(env_state)
+        next_state, _, _, _, _ = env.step_fn(env_state, action, key)
+        next_obs, _ = env.observe_fn(next_state)
+        pair = jnp.concatenate([obs[..., idx], next_obs[..., idx]], axis=-1)
+        return next_state, pair
+
+    key = jax.random.key(seed + 1)
+    init_state = env.init_fn(key)
+    _, pairs = jax.lax.scan(body, init_state, jax.random.split(key, steps))
+    return pairs.reshape(-1, pairs.shape[-1])[:num_transitions]

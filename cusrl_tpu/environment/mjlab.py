@@ -104,10 +104,25 @@ class MjlabPlayer(Player):
         return self.metrics.summary()  # pragma: no cover
 
 
-def make_mjlab_env(id: str, config: Any = None, argv: Sequence[str] = (), **kwargs: Any) -> MjlabEnvAdapter:
+def make_mjlab_env(
+    id: str, config: Any = None, argv: Sequence[str] = (), play: bool = False, **kwargs: Any
+) -> MjlabEnvAdapter:
     try:
         from mjlab.env import ManagerBasedRlEnv  # type: ignore
     except ImportError as error:  # pragma: no cover
         raise ImportError("make_mjlab_env requires an mjlab installation") from error
+    if config is None:  # pragma: no cover
+        config = make_mjlab_env_config(id, play=play)
     env = ManagerBasedRlEnv(cfg=config, **kwargs)  # pragma: no cover
     return MjlabEnvAdapter(env)  # pragma: no cover
+
+
+def make_mjlab_env_config(id: str, play: bool = False) -> Any:
+    """Resolve a registered mjlab task config by name (counterpart of
+    cusrl/environment/mjlab.py's make_mjlab_env_config); ``play`` selects the
+    evaluation variant when the registry provides one."""
+    try:
+        from mjlab.tasks import get_task_config  # type: ignore
+    except ImportError as error:  # pragma: no cover
+        raise ImportError("make_mjlab_env_config requires an mjlab installation") from error
+    return get_task_config(id, play=play)  # pragma: no cover

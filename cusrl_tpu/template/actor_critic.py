@@ -467,9 +467,16 @@ class ActorCritic(Agent):
 
     # -- checkpointing ---------------------------------------------------------
 
+    @staticmethod
+    def _leaf_to_numpy(leaf):
+        # Typed PRNG keys (e.g. hook rng state) serialize as their raw key data.
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(leaf))
+        return np.asarray(leaf)
+
     def state_dict(self) -> dict[str, Any]:
         result = super().state_dict()
-        result["agent_state"] = {path: np.asarray(leaf) for path, leaf in tree_paths(self.state)}
+        result["agent_state"] = {path: self._leaf_to_numpy(leaf) for path, leaf in tree_paths(self.state)}
         result["actor_memory"] = None if self.actor_memory is None else jax.tree.map(np.asarray, self.actor_memory)
         return result
 
@@ -488,6 +495,14 @@ class ActorCritic(Agent):
                 restored[path] = leaf
                 continue
             value = np.asarray(saved[path])
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+                key_data = jax.random.key_data(leaf)
+                if tuple(value.shape) != tuple(key_data.shape):
+                    self.warn(f"Shape mismatch for '{path}': ckpt {value.shape} vs key {key_data.shape}; skipped.")
+                    restored[path] = leaf
+                    continue
+                restored[path] = jax.random.wrap_key_data(jnp.asarray(value, key_data.dtype))
+                continue
             leaf_np = np.asarray(leaf)
             if tuple(value.shape) != tuple(leaf_np.shape):
                 self.warn(f"Shape mismatch for '{path}': ckpt {value.shape} vs model {leaf_np.shape}; skipped.")

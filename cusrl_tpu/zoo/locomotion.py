@@ -5,7 +5,8 @@ same PPO hyperparameter shapes (24 steps/update, ELU MLPs, KL-adaptive LR) on a
 fully on-device environment, so these also serve as the throughput benchmarks.
 """
 
-from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv, demonstration_dataset
+from cusrl_tpu.preset.amp import AmpAgentFactory
 from cusrl_tpu.preset.ppo import PpoAgentFactory, RecurrentPpoAgentFactory
 from cusrl_tpu.zoo.registry import register_experiment
 
@@ -79,4 +80,35 @@ register_experiment(
     benchmarking_env_factory_kwargs={"num_instances": 64},
     num_iterations=300,
     checkpoint_interval=50,
+)
+
+# On-device AMP (counterpart of the reference's humanoid AMP suite,
+# cusrl/zoo/isaaclab/humanoid_amp.py:8-34, on the JAX-native env): style reward
+# from a discriminator against scripted velocity-tracking demonstrations.
+register_experiment(
+    environment_name="Velocity-Flat",
+    algorithm_name="amp",
+    agent_meta_factory=AmpAgentFactory,
+    agent_meta_factory_kwargs=dict(
+        num_steps_per_update=16,
+        actor_hidden_dims=(512, 256),
+        critic_hidden_dims=(512, 256),
+        normalize_observation=True,
+        activation_fn="relu",
+        lr=5e-5,
+        sampler_epochs=4,
+        sampler_mini_batches=4,
+        init_distribution_std=0.1,
+        extrinsic_reward_scale=0.1,
+        amp_discriminator_hidden_dims=(512, 256),
+        amp_state_indices=tuple(range(16)),
+        amp_dataset_source=demonstration_dataset,
+        entropy_loss_weight=0.005,
+    ),
+    training_env_factory=VelocityLocomotionEnv,
+    training_env_factory_kwargs={"num_instances": 1024},
+    benchmarking_env_factory=VelocityLocomotionEnv,
+    benchmarking_env_factory_kwargs={"num_instances": 64},
+    num_iterations=3000,
+    checkpoint_interval=500,
 )

@@ -24,6 +24,9 @@ registry: dict[str, ExperimentSpec] = {}
 experiment_modules: list[str] = [
     "cusrl_tpu.zoo.gym",
     "cusrl_tpu.zoo.locomotion",
+    "cusrl_tpu.zoo.isaaclab",
+    "cusrl_tpu.zoo.mjlab",
+    "cusrl_tpu.zoo.robot_lab",
 ]
 _loaded = False
 

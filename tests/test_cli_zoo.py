@@ -47,6 +47,52 @@ def test_registry_contains_reference_suites():
     names = list_experiments()
     for expected in ("CartPole-v1_ppo", "MountainCar-v0_ppo", "Pendulum-v1_ppo", "Velocity-Flat_ppo"):
         assert expected in names
+    # Full reference zoo coverage (SURVEY.md §2.8): isaaclab velocity (13
+    # robots) + classic (3) + humanoid AMP (3), mjlab velocity (4) + tracking
+    # (2), robot_lab (5) — registration/listing works without the simulators.
+    assert sum(n.startswith("Isaac-Velocity-") for n in names) == 13
+    assert sum(n.startswith("Isaac-Humanoid-AMP-") for n in names) == 3
+    assert {"Isaac-Ant-v0_ppo", "Isaac-Cartpole-v0_ppo", "Isaac-Humanoid-v0_ppo"} <= set(names)
+    assert sum(n.startswith("Mjlab-Velocity-") for n in names) == 4
+    assert sum(n.startswith("Mjlab-Tracking-") for n in names) == 2
+    assert sum(n.startswith("RobotLab-") for n in names) == 5
+    assert "Velocity-Flat_amp" in names
+
+
+def test_locomotion_demonstration_dataset_tracks_commands():
+    import jax.numpy as jnp
+
+    from cusrl_tpu.environment.locomotion import demonstration_dataset
+
+    data = demonstration_dataset(num_transitions=512, num_instances=16)
+    assert data.shape == (512, 32)
+    assert bool(jnp.all(jnp.isfinite(data)))
+    # The scripted expert produces non-degenerate, varying transitions.
+    assert float(jnp.std(data)) > 1e-3
+
+
+def test_native_amp_experiment_builds_agent():
+    from cusrl_tpu.zoo.registry import get_experiment
+
+    spec = get_experiment("Velocity-Flat", "amp")
+    factory = spec.to_training_factory()
+    factory.environment_kwargs = {"num_instances": 8}
+    factory.agent.num_steps_per_update = 4
+    factory.agent.actor_hidden_dims = (16,)
+    factory.agent.critic_hidden_dims = (16,)
+    factory.agent.amp_discriminator_hidden_dims = (16,)
+    factory.agent.sampler_epochs = 1
+    factory.agent.sampler_mini_batches = 1
+    import functools
+
+    from cusrl_tpu.environment.locomotion import demonstration_dataset
+
+    factory.agent.amp_dataset_source = functools.partial(
+        demonstration_dataset, num_transitions=256, num_instances=8
+    )
+    factory.num_iterations = 1
+    trainer = factory(logger_factory=None, verbose=False)
+    trainer.run_training_loop()
 
 
 def test_cli_train_and_resume_roundtrip(tmp_path, monkeypatch):
