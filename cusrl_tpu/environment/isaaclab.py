@@ -127,11 +127,6 @@ class IsaacLabEnvLauncher(IsaacLabEnvAdapter):
             importlib.import_module(f"{extension}.tasks")
 
         env_cfg = parse_env_cfg(task, num_envs=num_envs)
-        if play:
-            # Evaluation configs: smaller scenes, no curriculum/pushes where defined.
-            for attr in ("curriculum", "events"):
-                if hasattr(env_cfg, attr) and hasattr(getattr(env_cfg, attr), "disable_for_play"):
-                    getattr(env_cfg, attr).disable_for_play()
         for key, value in kwargs.items():
             setattr(env_cfg, key, value)
         super().__init__(gym.make(task, cfg=env_cfg))
@@ -173,5 +168,14 @@ class TrainerCfg:
         )
 
 
-def make_isaaclab_env(task: str, num_envs: int | None = None, **kwargs: Any) -> IsaacLabEnvLauncher:
-    return IsaacLabEnvLauncher(task, num_envs=num_envs, **kwargs)
+def make_isaaclab_env(
+    task: str, num_envs: int | None = None, play: bool = False, **kwargs: Any
+) -> IsaacLabEnvLauncher:
+    """Create an IsaacLab env; ``play=True`` selects the registered '-Play'
+    evaluation variant of the task (counterpart of
+    cusrl/environment/isaaclab.py:205-214)."""
+    if play:
+        ids = task.split("-")
+        ids.insert(-1, "Play")
+        task = "-".join(ids)
+    return IsaacLabEnvLauncher(task, num_envs=num_envs, play=play, **kwargs)

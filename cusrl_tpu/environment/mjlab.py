@@ -119,10 +119,29 @@ def make_mjlab_env(
 
 def make_mjlab_env_config(id: str, play: bool = False) -> Any:
     """Resolve a registered mjlab task config by name (counterpart of
-    cusrl/environment/mjlab.py's make_mjlab_env_config); ``play`` selects the
-    evaluation variant when the registry provides one."""
-    try:
-        from mjlab.tasks import get_task_config  # type: ignore
+    cusrl/environment/mjlab.py:228-246): load the registry's env cfg and wrap
+    it in a dataclass that adds the ``device`` field (plus viewer fields for
+    ``play`` mode) expected by ``ManagerBasedRlEnv``."""
+    try:  # pragma: no cover - requires an mjlab installation
+        import dataclasses as _dc
+
+        from mjlab.envs import ManagerBasedRlEnvCfg  # type: ignore
+        from mjlab.tasks.registry import load_env_cfg  # type: ignore
     except ImportError as error:  # pragma: no cover
         raise ImportError("make_mjlab_env_config requires an mjlab installation") from error
-    return get_task_config(id, play=play)  # pragma: no cover
+
+    @_dc.dataclass  # pragma: no cover
+    class ManagerBasedRlEnvCfgWithDevice(ManagerBasedRlEnvCfg):  # type: ignore[misc]
+        device: Any = None
+
+    @_dc.dataclass  # pragma: no cover
+    class ManagerBasedRlEnvPlayCfg(ManagerBasedRlEnvCfgWithDevice):
+        headless: bool = False
+        viewer_type: Any = "viser"
+        viser_host: str = "0.0.0.0"
+        viser_port: int = 8080
+
+    config_class = ManagerBasedRlEnvPlayCfg if play else ManagerBasedRlEnvCfgWithDevice  # pragma: no cover
+    env_cfg = load_env_cfg(id, play=play)  # pragma: no cover
+    config_kwargs = {field.name: getattr(env_cfg, field.name) for field in _dc.fields(env_cfg)}  # pragma: no cover
+    return config_class(**config_kwargs)  # pragma: no cover

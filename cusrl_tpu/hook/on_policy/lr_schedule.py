@@ -5,13 +5,13 @@ Functional re-design for jit:
 * The LR scale is a 0-d array field on the hook; applying it rewrites
   ``state.learning_rates`` (0-d arrays consumed by the optimizer facade), so LR
   adaptation happens entirely on device with no recompilation.
-* **Update rejection** becomes trivial: the pre-update (actor, critic, opt_state)
-  snapshot is just a value, and a masked ``tree.map(where(reject, old, new))``
-  restores it.  Deviation from the reference: hook-internal states (e.g. RMS
-  statistics accumulated during this update) are NOT rolled back — the reference
-  restores the full agent state_dict (lr_schedule.py:56-80); restoring sibling
-  hooks from inside one hook's fold would race with the composite's own
-  threading.  Statistics drift from one rejected update is negligible.
+* **Update rejection** becomes trivial: the pre-update (actor, critic, hooks,
+  opt_state) snapshot is just a value, and a masked
+  ``tree.map(where(reject, old, new))`` restores all of it — including sibling
+  hook statefuls (RMS statistics etc.), matching the reference's full
+  ``load_state_dict`` restore (lr_schedule.py:56-80).  The composite replaces
+  this hook's own entry with the fold's returned self afterwards, preserving
+  the adapted ``lr_scale`` across a rejection exactly as the reference does.
 * Post-update KL is recomputed here over the full rollout; XLA CSE merges it
   with OnPolicyStatistics' identical pass.
 
@@ -78,9 +78,16 @@ class _KLDivergenceBasedLRSchedule(Hook):
             snap_actor, snap_critic, snap_hooks, snap_opt = snapshot
             reject = kl > self.max_kl_divergence
             restore = lambda old, new: jax.tree.map(lambda o, n: jnp.where(reject, o, n), old, new)
+            # Full-state restore mirroring the reference's load_state_dict
+            # (cusrl/hook/on_policy/lr_schedule.py:69-80): modules, optimizer,
+            # AND hook statefuls (e.g. RMS statistics accumulated this update).
+            # The composite overwrites this hook's own entry with ``new_self``
+            # afterwards, which is exactly the reference's "preserve lr_scale
+            # across the restore" behavior.
             state = state.replace(
                 actor=restore(snap_actor, state.actor),
                 critic=restore(snap_critic, state.critic),
+                hooks=restore(snap_hooks, state.hooks),
                 opt_state=restore(snap_opt, state.opt_state),
             )
             metrics["update_rejected"] = reject.astype(jnp.float32)

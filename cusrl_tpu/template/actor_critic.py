@@ -501,7 +501,9 @@ class ActorCritic(Agent):
                     self.warn(f"Shape mismatch for '{path}': ckpt {value.shape} vs key {key_data.shape}; skipped.")
                     restored[path] = leaf
                     continue
-                restored[path] = jax.random.wrap_key_data(jnp.asarray(value, key_data.dtype))
+                restored[path] = jax.random.wrap_key_data(
+                    jnp.asarray(value, key_data.dtype), impl=jax.random.key_impl(leaf)
+                )
                 continue
             leaf_np = np.asarray(leaf)
             if tuple(value.shape) != tuple(leaf_np.shape):

@@ -29,13 +29,17 @@ for _task, _cfg in {
         critic_hidden_dims=(32, 32),
         entropy_loss_weight=0.005,
         num_iterations=150,
+        checkpoint_interval=50,
     ),
     "Isaac-Humanoid-v0": dict(
         num_steps_per_update=32,
-        actor_hidden_dims=(400, 200, 100),
-        critic_hidden_dims=(400, 200, 100),
+        actor_hidden_dims=(512, 256, 128),
+        critic_hidden_dims=(512, 256, 128),
         entropy_loss_weight=0.0,
         num_iterations=1000,
+        normalize_observation=True,
+        desired_kl_divergence=0.012,
+        checkpoint_interval=200,
     ),
 }.items():
     register_experiment(
@@ -51,15 +55,16 @@ for _task, _cfg in {
             sampler_epochs=5,
             sampler_mini_batches=4,
             orthogonal_init=False,
+            normalize_observation=_cfg.get("normalize_observation", False),
             entropy_loss_weight=_cfg["entropy_loss_weight"],
-            desired_kl_divergence=0.015,
+            desired_kl_divergence=_cfg.get("desired_kl_divergence", 0.015),
         ),
         training_env_factory=make_isaaclab_env,
         training_env_factory_kwargs={"task": _task},
         playing_env_factory=make_isaaclab_env,
         playing_env_factory_kwargs={"task": _task, "play": True},
         num_iterations=_cfg["num_iterations"],
-        checkpoint_interval=100,
+        checkpoint_interval=_cfg.get("checkpoint_interval", 100),
     )
 
 # --- velocity locomotion (cusrl/zoo/isaaclab/locomotion.py) ----------------
@@ -126,7 +131,7 @@ for _task in (
         playing_env_factory=make_isaaclab_env,
         playing_env_factory_kwargs={"task": _task, "play": True},
         num_iterations=1500,
-        checkpoint_interval=200,
+        checkpoint_interval=100,
     )
 
 # --- humanoid AMP (cusrl/zoo/isaaclab/humanoid_amp.py) ---------------------

@@ -23,6 +23,28 @@ def test_update_rejection_restores_parameters():
     np.testing.assert_array_equal(w_before, w_after)
 
 
+def test_update_rejection_restores_hook_statefuls():
+    """A rejected update must roll back hook-internal state mutated during the
+    update phase (deferred RMS folds), mirroring the reference's full
+    load_state_dict restore (cusrl/hook/on_policy/lr_schedule.py:69-80)."""
+    env = create_dummy_env()
+    factory = cusrl_tpu.PpoAgentFactory(
+        num_steps_per_update=8, actor_hidden_dims=(16,), critic_hidden_dims=(16,),
+        sampler_epochs=2, sampler_mini_batches=2, normalize_observation=True,
+        defer_normalization_updates=True,  # RMS folds inside the update phase
+        desired_kl_divergence=0.01, max_kl_divergence=1e-12,  # reject everything
+    )
+    agent = factory(env.spec)
+    run_training(agent, env, num_updates=1)  # first update seeds the RMS
+    rms_before = agent.hook["observation_normalization"].observation_rms
+    stats_before = (np.asarray(rms_before.mean), np.asarray(rms_before.count))
+    metrics = run_training(agent, env, num_updates=1)
+    assert metrics["update_rejected"] == pytest.approx(1.0)
+    rms_after = agent.hook["observation_normalization"].observation_rms
+    np.testing.assert_array_equal(stats_before[0], np.asarray(rms_after.mean))
+    np.testing.assert_array_equal(stats_before[1], np.asarray(rms_after.count))
+
+
 def test_update_acceptance_keeps_parameters():
     env = create_dummy_env()
     factory = cusrl_tpu.PpoAgentFactory(
