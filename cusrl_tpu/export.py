@@ -31,7 +31,15 @@ import numpy as np
 
 from cusrl_tpu.nn.base import Memory, reset_memory
 
-__all__ = ["ExportGraph", "InferencePolicy", "InferenceWrapper", "export_agent", "load_exported_policy"]
+__all__ = [
+    "ExportGraph",
+    "ExportedStatefulPolicy",
+    "InferencePolicy",
+    "InferenceWrapper",
+    "export_agent",
+    "load_exported_graph",
+    "load_exported_policy",
+]
 
 
 class ExportGraph:
@@ -156,6 +164,26 @@ def _manifest(inputs: dict[str, Any], outputs: dict[str, Any], extra: dict) -> s
     return yaml.safe_dump({"inputs": describe(inputs), "outputs": describe(outputs), **extra}, sort_keys=False)
 
 
+def _force_fp32_compute(obj):
+    """Recursively rewrites ``compute_dtype`` static fields to None so exported
+    deployment graphs run pure float32 (edge/CPU targets; TFLite cannot
+    legalize bfloat16 matmuls)."""
+    import dataclasses
+
+    from cusrl_tpu.nn.base import Module
+
+    if isinstance(obj, Module):
+        changes = {f.name: _force_fp32_compute(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+        if "compute_dtype" in changes:
+            changes["compute_dtype"] = None
+        return dataclasses.replace(obj, **changes)
+    if isinstance(obj, tuple):
+        return tuple(_force_fp32_compute(v) for v in obj)
+    if isinstance(obj, list):
+        return [_force_fp32_compute(v) for v in obj]
+    return obj
+
+
 def build_actor_graph(agent, with_environment_normalization: bool = True) -> ExportGraph:
     """Observation normalization -> hook pre_export nodes -> deterministic actor
     -> hook post_export heads -> action denormalization (actor_critic.py:332-418)."""
@@ -220,6 +248,18 @@ def export_agent(
     **kwargs,
 ) -> None:
     os.makedirs(output_dir, exist_ok=True)
+    if target_format in ("savedmodel", "tflite"):
+        # Deployment targets run pure fp32 (TFLite cannot legalize bf16 matmuls).
+        class _ActorOverride:
+            def __init__(self, inner, actor):
+                self._inner = inner
+                self.state = inner.state.replace(actor=actor)
+                self.environment_spec = inner.environment_spec
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+        agent = _ActorOverride(agent, _force_fp32_compute(agent.state.actor))
     graph = build_actor_graph(agent, with_environment_normalization)
     run = graph.build()
     actor = agent.state.actor
@@ -240,9 +280,20 @@ def export_agent(
         f.write(manifest)
 
     if target_format == "stablehlo":
-        exported = jax.export.export(jax.jit(stateless))(example)
+        # Multi-platform lowering: the artifact must execute on deployment
+        # hosts (cpu) as well as the training platform, not be locked to
+        # whichever backend happened to be active at export time.
+        platforms = kwargs.get("platforms", ("cpu", "tpu"))
+        exported = jax.export.export(jax.jit(stateless), platforms=tuple(platforms))(example)
         with open(os.path.join(output_dir, "graph.stablehlo"), "wb") as f:
             f.write(exported.serialize())
+        if actor.is_recurrent:
+            # Persist the stateful artifact alongside the functional graph: the
+            # initial memory buffers let ExportedStatefulPolicy reconstruct the
+            # reference's stateful deployable (memory held as buffers + a
+            # reset(indices) entry point — cusrl/nn/layer/export.py:298-393).
+            with open(os.path.join(output_dir, "initial_memory.pkl"), "wb") as f:
+                pickle.dump(jax.tree.map(np.asarray, actor.init_memory(batch_size)), f)
     elif target_format in ("savedmodel", "tflite"):
         import tensorflow as tf
         from jax.experimental import jax2tf
@@ -287,6 +338,63 @@ def load_exported_policy(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
     return jax.tree.map(jnp.asarray, payload["actor"])
+
+
+def load_exported_graph(path: str):
+    """Deserializes a ``stablehlo``-format export directory back into an
+    executable callable ``context -> outputs`` plus its parsed manifest —
+    the deployment-side counterpart of the reference's TorchScript reload
+    (cusrl/nn/layer/export.py:130-229)."""
+    import yaml
+
+    with open(os.path.join(path, "graph.stablehlo"), "rb") as f:
+        exported = jax.export.deserialize(bytearray(f.read()))
+    with open(os.path.join(path, "manifest.yaml")) as f:
+        manifest = yaml.safe_load(f)
+    return exported.call, manifest
+
+
+class ExportedStatefulPolicy:
+    """Stateful deployable reconstructed from a persisted ``stablehlo`` export
+    of a recurrent actor: the functional graph plus the persisted
+    ``initial_memory.pkl`` buffers give the reference's stateful artifact
+    semantics — memory held internally, numpy IO, ``reset(indices)``
+    (cusrl/nn/layer/export.py:298-393)."""
+
+    def __init__(self, path: str):
+        self.call, self.manifest = load_exported_graph(path)
+        if not self.manifest.get("is_recurrent"):
+            raise ValueError(f"'{path}' is a stateless export; use load_exported_graph")
+        with open(os.path.join(path, "initial_memory.pkl"), "rb") as f:
+            self._initial_memory = jax.tree.map(jnp.asarray, pickle.load(f))
+        self.memory = self._initial_memory
+        self.num_instances = int(self.manifest["inputs"]["observation"]["shape"][0])
+
+    def __call__(self, observation):
+        was_numpy = isinstance(observation, np.ndarray)
+        observation = jnp.asarray(observation, jnp.float32)
+        squeeze = observation.ndim == 1
+        if squeeze:
+            observation = observation[None]
+        outputs = self.call({"observation": observation, "memory_in": self.memory})
+        self.memory = outputs.pop("memory_out")
+        action = outputs["action"]
+        if squeeze:
+            action = action[0]
+        return np.asarray(action) if was_numpy else action
+
+    def reset(self, indices=None) -> None:
+        if indices is None:
+            self.memory = self._initial_memory
+            return
+        done = np.zeros((self.num_instances,), bool)
+        done[np.asarray(indices)] = True
+        mask = jnp.asarray(done)
+        self.memory = jax.tree.map(
+            lambda init, mem: jnp.where(jnp.reshape(mask, mask.shape[:1] + (1,) * (mem.ndim - 1)), init, mem),
+            self._initial_memory,
+            self.memory,
+        )
 
 
 # Reference-compatible alias (cusrl/nn/module/inference.py InferenceWrapper).
