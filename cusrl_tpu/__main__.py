@@ -9,7 +9,17 @@ Factory-tree overrides follow a ``--`` separator, e.g.::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Honor JAX_PLATFORMS even when a platform plugin (e.g. a remote-TPU tunnel)
+# was registered at interpreter boot and captured the config before the env
+# var could take effect.  `JAX_PLATFORMS=cpu python -m cusrl_tpu ...` must
+# reliably keep host-loop training off a shared accelerator.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from cusrl_tpu.cli import benchmark, export, find_trial, list_experiments, play, train
 from cusrl_tpu.utils.cli_utils import split_cli_overrides

@@ -107,6 +107,17 @@ class JointPolicyValueEvaluation(Hook):
         observation = batch["observation"]
         critic_input = get_first(batch, "state", "observation")
 
+        if actor.backbone._can_fuse(observation):
+            # The fused Pallas kernel already runs each backbone as one
+            # VMEM-resident chain; two kernel invocations inside the same XLA
+            # program beat the stacked-einsum formulation it replaces.
+            actor_latent, _, _ = actor.backbone(observation)
+            critic_latent, _, _ = critic.backbone(critic_input.astype(observation.dtype))
+            batch["curr_action_dist"] = actor.distribution(actor_latent)
+            batch["actor_intermediate"] = {"backbone.output": actor_latent}
+            batch["curr_value"] = critic.head(critic_latent.astype(jnp.float32))
+            return self, batch, None, {}
+
         x = jnp.stack([observation, critic_input.astype(observation.dtype)])
         actor_layers = actor.backbone.layers
         critic_layers = critic.backbone.layers

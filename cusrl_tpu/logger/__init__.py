@@ -1,3 +1,3 @@
-from cusrl_tpu.logger.backends import Swanlab, Tensorboard, Wandb
+from cusrl_tpu.logger.backends import Jsonl, Swanlab, Tensorboard, Wandb
 
-__all__ = ["Swanlab", "Tensorboard", "Wandb"]
+__all__ = ["Jsonl", "Swanlab", "Tensorboard", "Wandb"]

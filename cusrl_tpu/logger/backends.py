@@ -5,7 +5,31 @@ from __future__ import annotations
 
 from cusrl_tpu.template.logger import Logger
 
-__all__ = ["Swanlab", "Tensorboard", "Wandb"]
+__all__ = ["Jsonl", "Swanlab", "Tensorboard", "Wandb"]
+
+
+class Jsonl(Logger):
+    """Dependency-free file backend: one JSON object per logged iteration in
+    ``<log_dir>/metrics.jsonl``.  Used by the learning-parity harness
+    (benchmarks/parity/) and anywhere a machine-readable metric stream beats a
+    TensorBoard event file."""
+
+    def _setup_backend(self, **kwargs) -> None:
+        import os
+
+        self._fh = open(os.path.join(self.log_dir, "metrics.jsonl"), "w")
+
+    def _log_impl(self, scalars, iteration) -> None:
+        import json
+
+        record = {"iteration": int(iteration)}
+        record.update({key: float(value) for key, value in scalars.items()})
+        self._fh.write(json.dumps(record) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        if hasattr(self, "_fh"):
+            self._fh.close()
 
 
 class Tensorboard(Logger):

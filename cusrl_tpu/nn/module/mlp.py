@@ -24,12 +24,40 @@ class Mlp(Module):
     ends_with_activation: bool = static_field(default=False)
     input_dim: int = static_field(default=0)
     output_dim: int = static_field(default=0)
+    # Fused Pallas fwd+bwd kernel (nn/kernels/fused_mlp.py) — auto-engages on
+    # TPU for 2-D batches.  Must be False for modules differentiated to second
+    # order (e.g. the AMP discriminator's input-gradient penalty): custom_vjp
+    # backward passes are not themselves differentiable.
+    fused_kernel: bool = static_field(default=True)
 
     @property
     def activation_fn(self) -> Callable:
         return get_activation(self.activation)
 
+    def _can_fuse(self, x: jax.Array) -> bool:
+        from cusrl_tpu.nn.kernels.fused_mlp import supports_fused_mlp
+
+        return (
+            self.fused_kernel
+            and x.ndim == 2
+            and x.shape[0] >= 256
+            and jax.default_backend() == "tpu"
+            and supports_fused_mlp(self.activation, len(self.layers))
+            and all(l.compute_dtype == "bfloat16" and l.bias is not None for l in self.layers)
+        )
+
     def __call__(self, x: jax.Array, memory: Memory = None, *, sequential: bool = False, **kwargs):
+        if self._can_fuse(x):
+            from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp
+
+            out = fused_mlp(
+                x,
+                tuple(l.weight.T for l in self.layers),
+                tuple(l.bias[None, :] for l in self.layers),
+                self.activation,
+                self.ends_with_activation,
+            )
+            return out, memory, {}
         act = self.activation_fn
         for index, layer in enumerate(self.layers):
             x = layer(x)
@@ -48,6 +76,7 @@ class MlpFactory(ModuleFactory):
     ends_with_activation: bool = True
     bias: bool = True
     compute_dtype: str | None = "default"
+    fused_kernel: bool = True
 
     def __call__(self, input_dim: int, output_dim: int | None, key: jax.Array) -> Mlp:
         from cusrl_tpu.utils.config import CONFIG
@@ -67,6 +96,7 @@ class MlpFactory(ModuleFactory):
             ends_with_activation=self.ends_with_activation,
             input_dim=input_dim,
             output_dim=dims[-1],
+            fused_kernel=self.fused_kernel,
         )
 
 

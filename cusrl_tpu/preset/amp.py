@@ -38,6 +38,9 @@ class AmpAgentFactory(PpoAgentFactory):
                     hidden_dims=tuple(self.amp_discriminator_hidden_dims),
                     activation=self.activation_fn,
                     ends_with_activation=True,
+                    # The gradient penalty differentiates the discriminator to
+                    # second order; the fused kernel's custom_vjp is first-order.
+                    fused_kernel=False,
                 ),
                 dataset_source=self.amp_dataset_source,
                 state_indices=self.amp_state_indices,

@@ -29,12 +29,37 @@ class MiniBatchSampler:
     num_epochs: int = 1
     num_mini_batches: int = 1
     shuffle: bool = True
+    # Shuffle granularity for the epoch plan.  "auto" permutes 128-row tiles
+    # when the rollout divides evenly (contiguous 128-row blocks are one DMA
+    # on TPU; random single-row gathers of the full rollout measured 12.5 ms
+    # per iteration at the benchmark config — more than the whole backbone
+    # fwd+bwd).  A minibatch gradient depends only on the SET of rows in the
+    # batch, so a uniformly-permuted tile partition is an equally valid SGD
+    # partition: each epoch still covers every transition exactly once and
+    # tile-mates are same-timestep transitions of independent environments.
+    # Set 1 to force the reference's row-granular permutation.
+    shuffle_block_size: int | str = "auto"
 
     def __post_init__(self):
         if self.num_epochs <= 0:
             raise ValueError("'num_epochs' must be positive")
         if self.num_mini_batches <= 0:
             raise ValueError("'num_mini_batches' must be positive")
+
+    def _resolve_block(self, total: int, batch_size: int) -> int:
+        block = self.shuffle_block_size
+        if block == "auto":
+            block = 128
+            if total % block != 0 or batch_size % block != 0 or total // block < self.num_mini_batches:
+                return 1
+            return block
+        block = int(block)
+        if block > 1 and (total % block != 0 or batch_size % block != 0):
+            raise ValueError(
+                f"shuffle_block_size={block} must divide both the rollout ({total}) and the "
+                f"mini-batch size ({batch_size})"
+            )
+        return max(block, 1)
 
     # -- plan ------------------------------------------------------------------
 
@@ -88,14 +113,17 @@ class MiniBatchSampler:
             return None
         total = capacity * parallelism
         batch_size = total // self.num_mini_batches
+        block = self._resolve_block(total, batch_size)
+        num_units = total // block if block > 1 else total
         if self.shuffle:
-            perms = jnp.stack([jax.random.permutation(k, total) for k in jax.random.split(key, self.num_epochs)])
+            perms = jnp.stack([jax.random.permutation(k, num_units) for k in jax.random.split(key, self.num_epochs)])
         else:
-            perms = jnp.tile(jnp.arange(total), (self.num_epochs, 1))
+            perms = jnp.tile(jnp.arange(num_units), (self.num_epochs, 1))
         static_meta = {
             "total_epochs": self.num_epochs,
             "total_mini_batches": self.num_mini_batches,
             "temporal": False,
+            "shuffle_block": block,
         }
         return static_meta, perms, batch_size
 
@@ -121,7 +149,7 @@ class AutoMiniBatchSampler(MiniBatchSampler):
 
         is_temporal = any(key.split(".")[0].endswith("memory") for key in flatten_nested(rollout))
         cls = TemporalMiniBatchSampler if is_temporal else MiniBatchSampler
-        return cls(self.num_epochs, self.num_mini_batches, self.shuffle)
+        return cls(self.num_epochs, self.num_mini_batches, self.shuffle, self.shuffle_block_size)
 
     def make_plan(self, key, capacity, parallelism, rollout):
         self._resolved = self._resolve(rollout)

@@ -299,11 +299,21 @@ class ActorCritic(Agent):
         if epoch_plan is not None:
             static_meta, epoch_perms, batch_size = epoch_plan
             num_mb = static_meta["total_mini_batches"]
+            block = static_meta.get("shuffle_block", 1)
             flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rollout)
 
             def epoch_body(carry, xs):
                 epoch_index, perm = xs
-                shuffled = jax.tree.map(lambda x: x[perm], flat)
+                if block > 1:
+                    # Tile-granular shuffle: gather contiguous `block`-row
+                    # tiles (one DMA each) instead of single rows — random
+                    # row gathers of the full rollout dominate the iteration
+                    # on TPU (see sampler.shuffle_block_size).
+                    shuffled = jax.tree.map(
+                        lambda x: x.reshape((-1, block) + x.shape[1:])[perm].reshape(x.shape), flat
+                    )
+                else:
+                    shuffled = jax.tree.map(lambda x: x[perm], flat)
 
                 def mb_body(inner_carry, mb_index):
                     batch = jax.tree.map(

@@ -3,9 +3,9 @@
 Host-side façade over device-resident storage: a dict of ``[capacity, parallelism,
 ...]`` arrays living in HBM.  Two write paths:
 
-* **Host loop** (Gym-style envs): ``push()`` writes one step per field via a
-  jitted ``dynamic_update_index_in_dim`` — storage allocated lazily from the
-  first transition's schema, never leaving the device.
+* **Host loop** (Gym-style envs): ``push()`` queues each step host-side
+  (write-behind) and flushes to ``[capacity, N, ...]`` storage in one stacked
+  write when read — per-step jitted writes cost ~1.4 ms of dispatch each.
 * **Scan rollout** (JAX envs): the jitted rollout produces the whole ``[T, N,...]``
   stack at once and ``replace_data()`` swaps it in — zero per-step dispatch.
 
@@ -41,6 +41,7 @@ class Buffer(MutableMapping):
         self.full = False
         self.schema: dict[str, Any] = {}
         self.storage: dict[str, jax.Array] = {}
+        self._pending: list[tuple[int, dict[str, jax.Array]]] = []
 
     # -- mapping interface over top-level field names -------------------------
 
@@ -54,6 +55,7 @@ class Buffer(MutableMapping):
         return key in self.schema
 
     def __getitem__(self, key: str):
+        self._flush()
         return nest.reconstruct_nested(self.storage, self.schema[key])
 
     def __setitem__(self, name: str, data) -> None:
@@ -88,6 +90,7 @@ class Buffer(MutableMapping):
         self.full = False
         self.schema.clear()
         self.storage.clear()
+        self._pending.clear()
 
     def reset_cursor(self) -> None:
         self.cursor = 0
@@ -104,7 +107,13 @@ class Buffer(MutableMapping):
     # -- write paths ----------------------------------------------------------
 
     def push(self, transition: Mapping[str, Any]) -> None:
-        """Appends one step; leaves must have shape ``[parallelism, ...]``."""
+        """Appends one step; leaves must have shape ``[parallelism, ...]``.
+
+        Write-behind: the step is queued host-side (a dict of device arrays —
+        O(1), no dispatch) and flushed into the ``[capacity, N, ...]`` storage
+        in one stacked write when the data is read.  A per-step jitted
+        dynamic-update costs ~1.4 ms of dispatch on the host-loop path —
+        dominating gym-style training (profiled in round 2)."""
         values: dict[str, jax.Array] = {}
         for name, nested in transition.items():
             if nested is None:
@@ -117,16 +126,34 @@ class Buffer(MutableMapping):
                         f"A step of '{key}' must have shape [parallelism={self.parallelism}, ...];"
                         f" got {value.shape}"
                     )
-                if key not in self.storage:
-                    self.storage[key] = jnp.zeros((self.capacity, *value.shape), value.dtype)
                 values[key] = value
         if values:
-            updated = _write_step({k: self.storage[k] for k in values}, values, jnp.asarray(self.cursor, jnp.int32))
-            self.storage.update(updated)
+            self._pending.append((self.cursor, values))
         self.cursor += 1
         if self.cursor == self.capacity:
             self.full = True
             self.cursor = 0
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        contiguous = (
+            len(pending) == self.capacity
+            and all(cursor == i for i, (cursor, _) in enumerate(pending))
+            and all(values.keys() == pending[0][1].keys() for _, values in pending)
+        )
+        if contiguous:
+            # The common whole-rollout case: one stack per field.
+            for key in pending[0][1]:
+                self.storage[key] = jnp.stack([values[key] for _, values in pending])
+            return
+        for cursor, values in pending:
+            for key, value in values.items():
+                if key not in self.storage:
+                    self.storage[key] = jnp.zeros((self.capacity, *value.shape), value.dtype)
+            updated = _write_step({k: self.storage[k] for k in values}, values, jnp.asarray(cursor, jnp.int32))
+            self.storage.update(updated)
 
     def replace_data(self, data: Mapping[str, Any]) -> None:
         """Swaps in a full ``[T, N, ...]`` rollout (the scan path)."""
@@ -144,10 +171,12 @@ class Buffer(MutableMapping):
     @property
     def data(self) -> dict[str, Any]:
         """The full nested data dict (a pytree of [T, N, ...] arrays)."""
+        self._flush()
         return {name: nest.reconstruct_nested(self.storage, schema) for name, schema in self.schema.items()}
 
     def sample(self, fn) -> dict[str, Any]:
         """Maps ``fn(flat_name, storage)`` over every leaf, rebuilding nesting."""
+        self._flush()
         mapped = {key: fn(key, value) for key, value in self.storage.items()}
         return {name: nest.reconstruct_nested(mapped, schema) for name, schema in self.schema.items()}
 

@@ -100,7 +100,7 @@ register_experiment(
         actor_hidden_dims=(64, 64),
         critic_hidden_dims=(64, 64),
         activation_fn="tanh",
-        lr=3e-4,
+        lr=1e-3,
         sampler_epochs=10,
         sampler_mini_batches=64,
         normalize_observation=True,

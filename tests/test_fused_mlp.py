@@ -1,0 +1,91 @@
+"""Fused MLP kernel correctness: Pallas (interpret) vs XLA reference vs Mlp.
+
+Counterpart role: the reference trusts torch.compile for backbone fusion
+(cusrl/template/agent.py:119); here the fused kernel must match the unfused
+path in both outputs and parameter gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cusrl_tpu.nn.kernels.fused_mlp import _reference, fused_mlp
+
+
+def make_params(key, dims):
+    ws, bs = [], []
+    for i in range(len(dims) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        ws.append(jax.random.normal(k1, (dims[i], dims[i + 1]), jnp.float32) / np.sqrt(dims[i]))
+        bs.append(jax.random.normal(k2, (1, dims[i + 1]), jnp.float32) * 0.1)
+    return tuple(ws), tuple(bs)
+
+
+@pytest.mark.parametrize("activation", ["elu", "relu", "tanh"])
+@pytest.mark.parametrize("trailing", [True, False])
+def test_fused_mlp_forward_matches_reference(activation, trailing):
+    dims = (24, 64, 32)
+    ws, bs = make_params(jax.random.key(0), dims)
+    x = jax.random.normal(jax.random.key(1), (100, dims[0]), jnp.float32)
+
+    expected = _reference(x, ws, bs, activation, trailing)
+    got = fused_mlp(x, ws, bs, activation, trailing, use_pallas=True, block_rows=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+@pytest.mark.parametrize("activation", ["elu", "tanh"])
+def test_fused_mlp_gradients_match_reference(activation):
+    dims = (24, 64, 32)
+    ws, bs = make_params(jax.random.key(2), dims)
+    x = jax.random.normal(jax.random.key(3), (100, dims[0]), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(4), (100, dims[-1]), jnp.float32)
+
+    def loss_ref(params, x_):
+        ws_, bs_ = params
+        out = _reference(x_, ws_, bs_, activation, True)
+        return jnp.mean(jnp.square(out.astype(jnp.float32) - tgt))
+
+    def loss_fused(params, x_):
+        ws_, bs_ = params
+        out = fused_mlp(x_, ws_, bs_, activation, True, use_pallas=True, block_rows=32, interpret=True)
+        return jnp.mean(jnp.square(out.astype(jnp.float32) - tgt))
+
+    (g_ref, gx_ref) = jax.grad(loss_ref, argnums=(0, 1))((ws, bs), x)
+    (g_fused, gx_fused) = jax.grad(loss_fused, argnums=(0, 1))((ws, bs), x)
+
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-3, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(gx_fused), np.asarray(gx_ref), atol=3e-3, rtol=3e-2)
+
+
+def test_fused_mlp_ragged_rows_and_single_layer():
+    """Row counts that don't divide the block size must pad transparently."""
+    dims = (8, 16)
+    ws, bs = make_params(jax.random.key(5), dims)
+    x = jax.random.normal(jax.random.key(6), (37, dims[0]), jnp.float32)
+    expected = _reference(x, ws, bs, "elu", True)
+    got = fused_mlp(x, ws, bs, "elu", True, use_pallas=True, block_rows=16, interpret=True)
+    assert got.shape == (37, 16)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(expected, np.float32), atol=2e-2)
+
+
+def test_fused_mlp_reference_matches_mlp_module():
+    """The kernel's XLA reference and the Mlp module produce identical outputs
+    (same cast placement), so swapping the backbone onto the kernel preserves
+    the module contract."""
+    from cusrl_tpu.nn.module.mlp import MlpFactory
+
+    factory = MlpFactory(hidden_dims=(64, 32), activation="elu", ends_with_activation=True)
+    mlp = factory(24, None, jax.random.key(7))
+    x = jax.random.normal(jax.random.key(8), (50, 24), jnp.float32)
+    out_module, _, _ = mlp(x)
+
+    ws = tuple(layer.weight.T for layer in mlp.layers)
+    bs = tuple(layer.bias[None, :] for layer in mlp.layers)
+    out_ref = _reference(x, ws, bs, "elu", True)
+    np.testing.assert_allclose(
+        np.asarray(out_ref, np.float32), np.asarray(out_module, np.float32), atol=1e-6
+    )
