@@ -20,7 +20,7 @@ from cusrl_tpu.nn import (
     Value,
     ValueFactory,
 )
-from cusrl_tpu.preset import PpoAgentFactory, RecurrentPpoAgentFactory, ppo_hook_suite
+from cusrl_tpu.preset import PpoAgentFactory, RecurrentPpoAgentFactory, TransformerPpoAgentFactory, ppo_hook_suite
 from cusrl_tpu.sampler import AutoMiniBatchSampler, MiniBatchSampler, TemporalMiniBatchSampler
 from cusrl_tpu.template import (
     ActorCritic,

@@ -63,16 +63,18 @@ def _act_kernel(name: str, zb):
     return h.astype(jnp.bfloat16)
 
 
-def _dact(name: str, z):
-    """Elementwise activation derivative from the PRE-activation (fp32)."""
+def _dact_from_h(name: str, h):
+    """Activation derivative from the POST-activation value (fp32) — the
+    property that lets the backward kernel consume saved activations instead
+    of recomputing the forward chain: elu' = min(h+1, 1), relu' = [h>0],
+    tanh' = 1-h^2."""
     if name == "elu":
-        return jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))
+        return jnp.minimum(h + 1.0, 1.0)
     if name == "relu":
-        return (z > 0).astype(jnp.float32)
+        return (h > 0).astype(jnp.float32)
     if name == "tanh":
-        t = jnp.tanh(z)
-        return 1.0 - t * t
-    return jnp.ones_like(z)
+        return 1.0 - h * h
+    return jnp.ones_like(h)
 
 
 def supports_fused_mlp(activation: str, num_layers: int) -> bool:
@@ -105,17 +107,20 @@ def _fwd_kernel(activation, trailing, num_layers, x_ref, *refs):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers : 2 * num_layers]
     out_ref = refs[2 * num_layers]
+    h_refs = refs[2 * num_layers + 1 :]  # saved activations h_1..h_{n-1}
     h = x_ref[...].astype(jnp.bfloat16)
     for i in range(num_layers):
         z = jnp.dot(h, w_refs[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
         z = (z + b_refs[i][...]).astype(jnp.bfloat16)
         h = _act_kernel(activation, z) if (i < num_layers - 1 or trailing) else z
+        if i < num_layers - 1:
+            h_refs[i][...] = h
     out_ref[...] = h
 
 
 def _bwd_kernel(activation, trailing, num_layers, x_ref, g_ref, *refs):
     w_refs = refs[:num_layers]
-    b_refs = refs[num_layers : 2 * num_layers]
+    h_refs = refs[num_layers : 2 * num_layers]  # h_1..h_{n-1}, out (= h_n)
     dx_ref = refs[2 * num_layers]
     dw_refs = refs[2 * num_layers + 1 : 3 * num_layers + 1]
     db_refs = refs[3 * num_layers + 1 : 4 * num_layers + 1]
@@ -126,26 +131,15 @@ def _bwd_kernel(activation, trailing, num_layers, x_ref, g_ref, *refs):
             dw_refs[i][...] = jnp.zeros(dw_refs[i].shape, dw_refs[i].dtype)
             db_refs[i][...] = jnp.zeros(db_refs[i].shape, db_refs[i].dtype)
 
-    # Recompute the forward chain for this tile (activations stay in VMEM).
-    h = x_ref[...].astype(jnp.bfloat16)
-    hs = [h]  # bf16 inputs of each layer
-    zs = []  # fp32 pre-activations of each layer
-    for i in range(num_layers):
-        z = jnp.dot(h, w_refs[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-        z = z + b_refs[i][...]
-        zs.append(z)
-        zb = z.astype(jnp.bfloat16)
-        h = _act_kernel(activation, zb) if (i < num_layers - 1 or trailing) else zb
-        hs.append(h)
-
-    # Gradient chain.
+    # Gradient chain over the SAVED activations (no forward recompute).
     d = g_ref[...].astype(jnp.float32)
     for i in reversed(range(num_layers)):
         if i < num_layers - 1 or trailing:
-            d = d * _dact(activation, zs[i])
+            d = d * _dact_from_h(activation, h_refs[i][...].astype(jnp.float32))
         d_bf = d.astype(jnp.bfloat16)
+        h_in = x_ref[...].astype(jnp.bfloat16) if i == 0 else h_refs[i - 1][...]
         dw_refs[i][...] += jax.lax.dot_general(
-            hs[i], d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         db_refs[i][...] += jnp.sum(d, axis=0, keepdims=True)
         d = jax.lax.dot_general(
@@ -161,6 +155,8 @@ def _pad_rows(a, rows):
 
 
 def _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret):
+    """Returns (out[:n], hiddens) — hiddens are the PADDED h_1..h_{n-1} saved
+    for the backward kernel (padding rows are dead there: g is zero-padded)."""
     n, num_layers = x.shape[0], len(weights)
     tb = min(block_rows, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tb) * tb
@@ -174,24 +170,32 @@ def _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret):
     for b in biases:
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((tb, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, out_dim), jnp.bfloat16)]
+    for w in weights[:-1]:
+        out_specs.append(pl.BlockSpec((tb, w.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((n_pad, w.shape[1]), jnp.bfloat16))
+
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, activation, trailing, num_layers),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tb, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_dim), jnp.bfloat16),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=interpret,
     )(xp, *weights, *biases)
-    return out[:n]
+    return outs[0][:n], tuple(outs[1:])
 
 
-def _run_bwd(x, g, weights, biases, activation, trailing, block_rows, interpret):
+def _run_bwd(x, g, weights, hiddens, out, activation, trailing, block_rows, interpret):
     n, num_layers = x.shape[0], len(weights)
     tb = min(block_rows, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tb) * tb
     xp = _pad_rows(x, n_pad)
     gp = _pad_rows(g.astype(jnp.float32), n_pad)
+    out_p = _pad_rows(out, n_pad)
     grid = (n_pad // tb,)
+    hs = tuple(hiddens) + (out_p,)  # h_1..h_n, all padded to n_pad
 
     in_specs = [
         pl.BlockSpec((tb, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -199,17 +203,21 @@ def _run_bwd(x, g, weights, biases, activation, trailing, block_rows, interpret)
     ]
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
-    for b in biases:
-        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for h in hs:
+        in_specs.append(pl.BlockSpec((tb, h.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
 
     out_specs = [pl.BlockSpec((tb, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((n_pad, x.shape[1]), jnp.float32)]
     for w in weights:
         out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
-    for b in biases:
-        out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec((1, w.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32))
+    # Reorder: dws then dbs (kernel expects dw block then db block).
+    dw_specs = out_specs[1::2]; db_specs = out_specs[2::2]
+    dw_shapes = out_shapes[1::2]; db_shapes = out_shapes[2::2]
+    out_specs = [out_specs[0]] + dw_specs + db_specs
+    out_shapes = [out_shapes[0]] + dw_shapes + db_shapes
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, activation, trailing, num_layers),
@@ -218,7 +226,7 @@ def _run_bwd(x, g, weights, biases, activation, trailing, block_rows, interpret)
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(xp, gp, *weights, *biases)
+    )(xp, gp, *weights, *hs)
     dx = outs[0][:n]
     dws = tuple(outs[1 : 1 + num_layers])
     dbs = tuple(outs[1 + num_layers :])
@@ -233,19 +241,23 @@ def _run_bwd(x, g, weights, biases, activation, trailing, block_rows, interpret)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _fused_op(x, weights, biases, activation, trailing, use_pallas, block_rows, interpret):
     if use_pallas:
-        return _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret)
+        return _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret)[0]
     return _reference(x, weights, biases, activation, trailing)
 
 
 def _fused_op_fwd(x, weights, biases, activation, trailing, use_pallas, block_rows, interpret):
-    out = _fused_op(x, weights, biases, activation, trailing, use_pallas, block_rows, interpret)
-    return out, (x, weights, biases)
+    if use_pallas:
+        out, hiddens = _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret)
+        return out, (x, weights, None, hiddens, out)
+    out = _reference(x, weights, biases, activation, trailing)
+    return out, (x, weights, biases, None, None)
 
 
 def _fused_op_bwd(activation, trailing, use_pallas, block_rows, interpret, residuals, g):
-    x, weights, biases = residuals
+    x, weights, biases, hiddens, out = residuals
     if use_pallas:
-        dx, dws, dbs = _run_bwd(x, g, weights, biases, activation, trailing, block_rows, interpret)
+        dx, dws, dbs = _run_bwd(x, g, weights, hiddens, out, activation, trailing, block_rows, interpret)
+        dbs = tuple(db.reshape(1, -1) for db in dbs)
     else:
         _, vjp = jax.vjp(lambda x_, ws_, bs_: _reference(x_, ws_, bs_, activation, trailing), x, weights, biases)
         dx, dws, dbs = vjp(g)

@@ -18,6 +18,17 @@ from cusrl_tpu.nn.layer.linear import Linear, get_activation
 __all__ = ["Mlp", "MlpFactory"]
 
 
+def _inside_mesh() -> bool:
+    """True when tracing under an active device mesh — Pallas custom calls do
+    not auto-partition over NamedShardings, so sharded (multi-chip) programs
+    keep the XLA dot chain (which XLA shards with inserted collectives)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return bool(getattr(mesh, "shape_tuple", ()) or not getattr(mesh, "empty", True))
+    except Exception:
+        return False
+
+
 class Mlp(Module):
     layers: tuple[Linear, ...]
     activation: str = static_field(default="elu")
@@ -34,6 +45,21 @@ class Mlp(Module):
     def activation_fn(self) -> Callable:
         return get_activation(self.activation)
 
+    def tp_specs(self) -> dict[str, tuple]:
+        """Megatron-style tensor-parallel partition declaration: even layers
+        shard the output (hidden) dimension, odd layers shard the input
+        dimension (XLA inserts the psum at the boundary).  Keys are paths
+        relative to this module; "model" names the mesh's model axis."""
+        specs: dict[str, tuple] = {}
+        for i, layer in enumerate(self.layers):
+            if i % 2 == 0:
+                specs[f"layers.{i}.weight"] = ("model", None)
+                if layer.bias is not None:
+                    specs[f"layers.{i}.bias"] = ("model",)
+            else:
+                specs[f"layers.{i}.weight"] = (None, "model")
+        return specs
+
     def _can_fuse(self, x: jax.Array) -> bool:
         from cusrl_tpu.nn.kernels.fused_mlp import supports_fused_mlp
 
@@ -42,6 +68,7 @@ class Mlp(Module):
             and x.ndim == 2
             and x.shape[0] >= 256
             and jax.default_backend() == "tpu"
+            and not _inside_mesh()
             and supports_fused_mlp(self.activation, len(self.layers))
             and all(l.compute_dtype == "bfloat16" and l.bias is not None for l in self.layers)
         )

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cusrl_tpu.nn.base import tree_paths
 
-__all__ = ["distribute_agent", "get_mesh", "replicate", "shard_batch", "tensor_parallel_rules"]
+__all__ = ["collect_tp_specs", "distribute_agent", "get_mesh", "replicate", "shard_batch", "tensor_parallel_rules"]
 
 
 def get_mesh(model_parallel_size: int = 1, devices=None) -> Mesh:
@@ -57,13 +57,47 @@ def shard_batch(tree: Any, mesh: Mesh, axis: int = 0) -> Any:
     return jax.tree.map(_put, tree)
 
 
-def tensor_parallel_rules() -> list[tuple[str, P]]:
-    """Megatron-style alternating partition specs for MLP stacks.
+def collect_tp_specs(tree: Any) -> dict[str, P]:
+    """Walks the pytree collecting partition specs DECLARED by modules.
 
-    Even backbone layers shard the output (hidden) dimension, odd layers shard
-    the input dimension; heads stay replicated.  Matched against dotted paths
-    like ``actor.backbone.layers.0.weight``.
+    A module opts into tensor parallelism by defining ``tp_specs() ->
+    {relative_path: spec_tuple}`` (see ``Mlp.tp_specs``); this assembles them
+    into absolute dotted paths.  Nested declarations compose: a child module's
+    declaration extends (and, on conflict, overrides) its ancestors'.
     """
+    import dataclasses
+
+    from cusrl_tpu.nn.base import Module
+
+    specs: dict[str, P] = {}
+
+    def walk(obj: Any, prefix: str) -> None:
+        if isinstance(obj, Module):
+            declare = getattr(obj, "tp_specs", None)
+            if callable(declare):
+                for rel, spec in declare().items():
+                    path = f"{prefix}.{rel}" if prefix else rel
+                    specs[path] = P(*spec)
+            for field in dataclasses.fields(obj):
+                if not field.metadata.get("static", False):
+                    walk(getattr(obj, field.name), f"{prefix}.{field.name}" if prefix else field.name)
+        elif isinstance(obj, (tuple, list)):
+            for i, item in enumerate(obj):
+                walk(item, f"{prefix}.{i}" if prefix else str(i))
+        elif isinstance(obj, dict):
+            for k, v in obj.items():
+                walk(v, f"{prefix}.{k}" if prefix else str(k))
+        elif dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            for field in dataclasses.fields(obj):
+                walk(getattr(obj, field.name), f"{prefix}.{field.name}" if prefix else field.name)
+
+    walk(tree, "")
+    return specs
+
+
+def tensor_parallel_rules() -> list[tuple[str, P]]:
+    """Deprecated regex fallback, kept for API compatibility: module-declared
+    specs (``collect_tp_specs``) are what ``distribute_agent`` consumes."""
     rules: list[tuple[str, P]] = []
     for layer in range(0, 64, 2):
         rules.append((rf".*\.layers\.{layer}\.weight$", P("model", None)))
@@ -73,24 +107,27 @@ def tensor_parallel_rules() -> list[tuple[str, P]]:
     return rules
 
 
-def _apply_rules(tree: Any, mesh: Mesh, rules: list[tuple[str, P]]) -> Any:
-    compiled = [(re.compile(pattern), spec) for pattern, spec in rules]
+def _apply_specs(tree: Any, mesh: Mesh, specs: dict[str, P]) -> Any:
+    import warnings
+
     placements = []
     for path, leaf in tree_paths(tree):
         spec = P()
-        if hasattr(leaf, "ndim"):
-            for regex, candidate in compiled:
-                if regex.match(path):
-                    # Skip rules whose sharded dims do not divide the leaf shape.
-                    ok = True
-                    for dim, name in enumerate(candidate):
-                        if name is None:
-                            continue
-                        if dim >= leaf.ndim or leaf.shape[dim] % mesh.shape["model"] != 0:
-                            ok = False
-                    if ok:
-                        spec = candidate
-                    break
+        candidate = specs.get(path)
+        if candidate is not None and hasattr(leaf, "ndim"):
+            ok = True
+            for dim, name in enumerate(candidate):
+                if name is None:
+                    continue
+                if dim >= leaf.ndim or leaf.shape[dim] % mesh.shape["model"] != 0:
+                    ok = False
+            if ok:
+                spec = candidate
+            else:
+                warnings.warn(
+                    f"tensor-parallel spec {candidate} for '{path}' (shape {getattr(leaf, 'shape', '?')}) "
+                    f"does not divide over model={mesh.shape['model']}; leaving replicated"
+                )
         placements.append(NamedSharding(mesh, spec))
     leaves, treedef = jax.tree.flatten(tree)
     placed = [jax.device_put(leaf, sharding) for leaf, sharding in zip(leaves, placements)]
@@ -107,7 +144,7 @@ def distribute_agent(agent, mesh: Mesh | None = None, tensor_parallel: bool = Fa
     if mesh is None:
         mesh = get_mesh()
     if tensor_parallel and mesh.shape["model"] > 1:
-        agent.state = _apply_rules(agent.state, mesh, tensor_parallel_rules())
+        agent.state = _apply_specs(agent.state, mesh, collect_tp_specs(agent.state))
     else:
         agent.state = replicate(agent.state, mesh)
     if agent.actor_memory is not None:

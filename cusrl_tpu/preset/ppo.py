@@ -31,7 +31,7 @@ from cusrl_tpu.template.agent import AgentFactory
 from cusrl_tpu.template.environment import EnvironmentSpec
 from cusrl_tpu.template.hook import Hook
 
-__all__ = ["PpoAgentFactory", "RecurrentPpoAgentFactory", "ppo_hook_suite"]
+__all__ = ["PpoAgentFactory", "RecurrentPpoAgentFactory", "TransformerPpoAgentFactory", "ppo_hook_suite"]
 
 
 def ppo_hook_suite(
@@ -197,3 +197,48 @@ class RecurrentPpoAgentFactory(PpoAgentFactory):
                 ),
             )
         )
+
+
+@dataclasses.dataclass(kw_only=True)
+class TransformerPpoAgentFactory(PpoAgentFactory):
+    """PPO with causal windowed-attention backbones (counterpart role of the
+    reference's transformer policies, cusrl/nn/module/causal_attn.py:49-259):
+    one or more CausalTransformerEncoderLayers (rolling KV cache, done-driven
+    segment resets, banded Pallas kernel in sequence mode) followed by an
+    optional MLP head stack.  Temporal sampling engages automatically through
+    the recurrent-memory rollout keys."""
+
+    embed_dim: int = 128
+    num_heads: int = 4
+    attention_window: int = 16
+    num_attention_layers: int = 1
+    use_alibi: bool = False
+    use_rope: bool = True
+    mlp_hidden_dims: Sequence[int] = (256,)
+
+    def _backbone_factory(self, hidden_dims):
+        from cusrl_tpu.nn.module.causal_attn import CausalTransformerEncoderLayerFactory
+        from cusrl_tpu.nn.module.sequential import SequentialFactory
+
+        layers = tuple(
+            CausalTransformerEncoderLayerFactory(
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                window=self.attention_window,
+                use_alibi=self.use_alibi,
+                use_rope=self.use_rope,
+            )
+            for _ in range(self.num_attention_layers)
+        )
+        factories = layers
+        if self.mlp_hidden_dims:
+            factories = factories + (
+                MlpFactory(
+                    hidden_dims=tuple(self.mlp_hidden_dims),
+                    activation=self.activation_fn,
+                    ends_with_activation=True,
+                ),
+            )
+        if len(factories) == 1:
+            return factories[0]
+        return SequentialFactory(factories=factories)

@@ -117,9 +117,14 @@ class Agent(ABC):
 
     @classmethod
     def warn(cls, message: str) -> None:
+        import warnings
+
         from cusrl_tpu.utils import distributed
 
-        distributed.print_rank0(f"\033[1;31m{cls.__name__}: {message}\033[0m")
+        if distributed.is_main_process():
+            # A real warning (catchable/filterable by callers and tests), plus
+            # the reference's red console line for interactive visibility.
+            warnings.warn(f"{cls.__name__}: {message}", RuntimeWarning, stacklevel=3)
 
 
 @dataclasses.dataclass(kw_only=True)

@@ -133,7 +133,10 @@ def configure_distributed(timeout_s: int = 300) -> None:
         return
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
     num_processes = _env_int("JAX_NUM_PROCESSES") or _env_int("NUM_PROCESSES")
-    process_id = _env_int("JAX_PROCESS_ID") or _env_int("PROCESS_ID")
+    # `or` would turn rank 0 into None — 0 is falsy.
+    process_id = _env_int("JAX_PROCESS_ID")
+    if process_id is None:
+        process_id = _env_int("PROCESS_ID")
     if coordinator is not None and num_processes and num_processes > 1:
         import jax
 

@@ -60,22 +60,49 @@ def barrier() -> None:
     multihost_utils.sync_global_devices("cusrl_tpu.barrier")
 
 
+_MAX_OBJ_BYTES = 1 << 16
+
+
+def _obj_to_u8(obj) -> "np.ndarray":
+    import pickle
+
+    import numpy as np
+
+    payload = pickle.dumps(obj)
+    if len(payload) + 8 > _MAX_OBJ_BYTES:
+        raise ValueError(f"object too large to gather ({len(payload)} bytes)")
+    buf = np.zeros(_MAX_OBJ_BYTES, np.uint8)
+    buf[:8] = np.frombuffer(len(payload).to_bytes(8, "little"), np.uint8)
+    buf[8 : 8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    return buf
+
+
+def _u8_to_obj(buf) -> Any:
+    import pickle
+
+    import numpy as np
+
+    buf = np.asarray(buf, np.uint8)
+    size = int.from_bytes(buf[:8].tobytes(), "little")
+    return pickle.loads(buf[8 : 8 + size].tobytes())
+
+
 def gather_obj(obj: _T) -> list[_T]:
-    """Gathers an arbitrary picklable object from every process."""
+    """Gathers an arbitrary picklable object from every process (pickled into
+    a fixed-size uint8 buffer and ``process_allgather``-ed)."""
     if not enabled():
         return [obj]
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.broadcast_one_to_all_and_gather(obj))  # pragma: no cover
+    gathered = multihost_utils.process_allgather(_obj_to_u8(obj))
+    return [_u8_to_obj(row) for row in gathered]
 
 
 def broadcast_obj(obj: _T) -> _T:
     """Broadcasts a picklable object from process 0 to all processes."""
     if not enabled():
         return obj
-    from jax.experimental import multihost_utils
-
-    return multihost_utils.broadcast_one_to_all(obj)  # pragma: no cover
+    return gather_obj(obj)[0]
 
 
 def average_dict(info: dict[str, float]) -> dict[str, float]:

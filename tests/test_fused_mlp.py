@@ -61,6 +61,26 @@ def test_fused_mlp_gradients_match_reference(activation):
     np.testing.assert_allclose(np.asarray(gx_fused), np.asarray(gx_ref), atol=3e-3, rtol=3e-2)
 
 
+def test_fused_mlp_fallback_path_gradients():
+    """use_pallas=False (the non-TPU fallback) must also produce reference
+    gradients through the custom_vjp (regression: the fallback once rebuilt
+    the chain with zero biases)."""
+    dims = (24, 64, 32)
+    ws, bs = make_params(jax.random.key(10), dims)
+    x = jax.random.normal(jax.random.key(11), (50, dims[0]), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(12), (50, dims[-1]), jnp.float32)
+
+    def loss(fn):
+        return lambda params: jnp.mean(
+            jnp.square(fn(x, params[0], params[1]).astype(jnp.float32) - tgt)
+        )
+
+    g_ref = jax.grad(loss(lambda x_, w_, b_: _reference(x_, w_, b_, "elu", True)))((ws, bs))
+    g_fb = jax.grad(loss(lambda x_, w_, b_: fused_mlp(x_, w_, b_, "elu", True, use_pallas=False)))((ws, bs))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
 def test_fused_mlp_ragged_rows_and_single_layer():
     """Row counts that don't divide the block size must pad transparently."""
     dims = (8, 16)

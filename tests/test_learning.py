@@ -40,4 +40,9 @@ def test_ppo_learns_velocity_tracking():
     assert len(rewards) >= 10
     early = np.mean(rewards[:5])
     late = np.mean(rewards[-5:])
-    assert late > early + 10, f"no learning progress: early={early:.1f} late={late:.1f}"
+    # Pinned scale: reward is exp(-tracking_error) - action_penalty per step
+    # over 200-step episodes, so a tracking policy scores ~150 and the initial
+    # policy ~95 (measured trajectory: 95 -> 138 -> 150 within 40 iterations).
+    # Require real progress AND a near-converged absolute level.
+    assert late > early + 30, f"no learning progress: early={early:.1f} late={late:.1f}"
+    assert late > 140, f"did not reach tracking-quality reward: late={late:.1f}"

@@ -59,6 +59,37 @@ def test_tensor_parallel_executes():
     assert np.isfinite(w).all()
 
 
+def test_tp_training_matches_single_device():
+    """TP must be numerically equivalent to single-device training — the
+    alternating row/column partition only changes WHERE the matmuls run, not
+    what they compute (XLA inserts the psum at the sharding boundary)."""
+    env1, agent1 = make_agent()
+    w_single = run_iters(env1, agent1)
+
+    env2, agent2 = make_agent()
+    mesh = get_mesh(model_parallel_size=8)  # pure TP: 1 x 8
+    distribute_agent(agent2, mesh, tensor_parallel=True)
+    with jax.set_mesh(mesh):
+        w_tp = run_iters(env2, agent2)
+
+    np.testing.assert_allclose(w_single, w_tp, atol=5e-5)
+
+
+def test_tp_dp_combined_matches_single_device():
+    """The full 4x2 (data x model) mesh must also reproduce single-device
+    numerics end-to-end through the fused collect_and_update path."""
+    env1, agent1 = make_agent()
+    w_single = run_iters(env1, agent1)
+
+    env2, agent2 = make_agent()
+    mesh = get_mesh(model_parallel_size=2)
+    distribute_agent(agent2, mesh, tensor_parallel=True)
+    with jax.set_mesh(mesh):
+        w_both = run_iters(env2, agent2)
+
+    np.testing.assert_allclose(w_single, w_both, atol=5e-5)
+
+
 def test_shard_batch_and_replicate_placement():
     mesh = get_mesh(1)
     x = jnp.zeros((16, 4))
