@@ -170,7 +170,12 @@ def _attention_kernel(
         * scale
     )  # [BQ, BQ]
 
-    mask, distance = _band_mask(window, bq, qb, kb, q_seg_ref[0], k_seg_ref[0], k_valid_ref[0])
+    # Segment/validity rows arrive as (8, bq) blocks (Mosaic requires the
+    # sublane dim of a block be 8-divisible); select this batch row in-kernel.
+    row = pl.program_id(0) % 8
+    mask, distance = _band_mask(
+        window, bq, qb, kb, q_seg_ref[row], k_seg_ref[row], k_valid_ref[row]
+    )
     if use_alibi:
         scores = scores - slopes_ref[0, 0] * distance.astype(jnp.float32)
     scores = jnp.where(mask, scores, -1e30)
@@ -200,6 +205,15 @@ def _banded_pallas(q, k, v, q_seg, k_seg, k_valid, window: int, slopes, block_q:
     n, h, t_len, head_dim = q.shape
     bq, num_q, num_kb, t_pad, s_pad = _plan(t_len, k.shape[-2], window, block_q)
     q, k, v, q_seg, k_seg, k_valid = _pad_inputs(q, k, v, q_seg, k_seg, k_valid, t_pad, s_pad)
+    # Mosaic block constraint: the segment blocks are (8, bq), so the batch
+    # axis must divide by 8 (padded rows never match: segment -2 vs key -1).
+    n_pad = -(-n // 8) * 8
+    if n_pad != n:
+        pad_batch4 = lambda x: jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
+        q, k, v = pad_batch4(q), pad_batch4(k), pad_batch4(v)
+        q_seg = jnp.pad(q_seg, ((0, n_pad - n), (0, 0)), constant_values=-2)
+        k_seg = jnp.pad(k_seg, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        k_valid = jnp.pad(k_valid, ((0, n_pad - n), (0, 0)), constant_values=0)
     use_alibi = slopes is not None
     slopes_in = (slopes if use_alibi else jnp.zeros(h, jnp.float32)).reshape(h, 1).astype(jnp.float32)
 
@@ -210,21 +224,21 @@ def _banded_pallas(q, k, v, q_seg, k_seg, k_valid, window: int, slopes, block_q:
         scale=1.0 / float(np.sqrt(head_dim)),
         use_alibi=use_alibi,
     )
-    grid = (n, h, num_q, num_kb)
+    grid = (n_pad, h, num_q, num_kb)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq), lambda n_, h_, qb, kb: (n_, qb)),  # q_seg
-            pl.BlockSpec((1, bq), lambda n_, h_, qb, kb: (n_, qb + kb)),  # k_seg
-            pl.BlockSpec((1, bq), lambda n_, h_, qb, kb: (n_, qb + kb)),  # k_valid
+            pl.BlockSpec((8, bq), lambda n_, h_, qb, kb: (n_ // 8, qb)),  # q_seg
+            pl.BlockSpec((8, bq), lambda n_, h_, qb, kb: (n_ // 8, qb + kb)),  # k_seg
+            pl.BlockSpec((8, bq), lambda n_, h_, qb, kb: (n_ // 8, qb + kb)),  # k_valid
             pl.BlockSpec((1, 1), lambda n_, h_, qb, kb: (h_, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bq, head_dim), lambda n_, h_, qb, kb: (n_, h_, qb, 0)),  # q
             pl.BlockSpec((1, 1, bq, head_dim), lambda n_, h_, qb, kb: (n_, h_, qb + kb, 0)),  # k
             pl.BlockSpec((1, 1, bq, head_dim), lambda n_, h_, qb, kb: (n_, h_, qb + kb, 0)),  # v
         ],
         out_specs=pl.BlockSpec((1, 1, bq, head_dim), lambda n_, h_, qb, kb: (n_, h_, qb, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, t_pad, head_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, h, t_pad, head_dim), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bq, head_dim), jnp.float32),  # acc
             pltpu.VMEM((bq, 128), jnp.float32),  # running max
@@ -232,7 +246,7 @@ def _banded_pallas(q, k, v, q_seg, k_seg, k_valid, window: int, slopes, block_q:
         ],
         interpret=interpret,
     )(q_seg, k_seg, k_valid, slopes_in, q, k, v)
-    return out[:, :, :t_len]
+    return out[:n, :, :t_len]
 
 
 # ---------------------------------------------------------------------------
