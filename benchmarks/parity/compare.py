@@ -44,6 +44,10 @@ def seed_curves(env, who):
             curves[seed] = load(p, key)
     else:
         for d in sorted(glob.glob(f"{OUT}/ours_{env}_s*")):
+            if d.endswith(".jsonl"):  # archived flat layout
+                seed = d.rsplit("_s", 1)[1].split(".")[0]
+                curves[seed] = load(d, key)
+                continue
             seed = d.rsplit("_s", 1)[1]
             p = os.path.join(d, "latest", "metrics.jsonl")
             if os.path.exists(p):

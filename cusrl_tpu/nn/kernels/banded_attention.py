@@ -170,14 +170,15 @@ def _attention_kernel(
         * scale
     )  # [BQ, BQ]
 
-    # Segment/validity rows arrive as (8, bq) blocks (Mosaic requires the
-    # sublane dim of a block be 8-divisible); select this batch row in-kernel.
+    # Segment/validity rows arrive as (8, BQ) band blocks (banding done by the
+    # BlockSpec index maps; BQ=128 so lane blocks meet Mosaic's tiling rules);
+    # select this batch row in-kernel.
     row = pl.program_id(0) % 8
     mask, distance = _band_mask(
         window, bq, qb, kb, q_seg_ref[row], k_seg_ref[row], k_valid_ref[row]
     )
     if use_alibi:
-        scores = scores - slopes_ref[0, 0] * distance.astype(jnp.float32)
+        scores = scores - slopes_ref[pl.program_id(1), 0] * distance.astype(jnp.float32)
     scores = jnp.where(mask, scores, -1e30)
 
     m_prev = m_ref[:, :1]
@@ -203,7 +204,16 @@ def _banded_pallas(q, k, v, q_seg, k_seg, k_valid, window: int, slopes, block_q:
     from jax.experimental.pallas import tpu as pltpu
 
     n, h, t_len, head_dim = q.shape
-    bq, num_q, num_kb, t_pad, s_pad = _plan(t_len, k.shape[-2], window, block_q)
+    # The compiled kernel always uses BQ=128: Mosaic's lane tiling requires
+    # either 128-divisible lane blocks or full-array blocks, and block-granular
+    # banding (the index maps below) needs the band stride to BE the lane
+    # block.  (block_q still controls the XLA reference/backward banding.)
+    bq = 128
+    num_q = -(-t_len // bq)
+    num_kb = 1 + -(-window // bq)
+    t_pad = num_q * bq
+    s_pad = (num_q + num_kb - 1) * bq
+    assert s_pad >= k.shape[-2], (s_pad, k.shape[-2])
     q, k, v, q_seg, k_seg, k_valid = _pad_inputs(q, k, v, q_seg, k_seg, k_valid, t_pad, s_pad)
     # Mosaic block constraint: the segment blocks are (8, bq), so the batch
     # axis must divide by 8 (padded rows never match: segment -2 vs key -1).
@@ -232,7 +242,7 @@ def _banded_pallas(q, k, v, q_seg, k_seg, k_valid, window: int, slopes, block_q:
             pl.BlockSpec((8, bq), lambda n_, h_, qb, kb: (n_ // 8, qb)),  # q_seg
             pl.BlockSpec((8, bq), lambda n_, h_, qb, kb: (n_ // 8, qb + kb)),  # k_seg
             pl.BlockSpec((8, bq), lambda n_, h_, qb, kb: (n_ // 8, qb + kb)),  # k_valid
-            pl.BlockSpec((1, 1), lambda n_, h_, qb, kb: (h_, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slopes [H,1], indexed in-kernel
             pl.BlockSpec((1, 1, bq, head_dim), lambda n_, h_, qb, kb: (n_, h_, qb, 0)),  # q
             pl.BlockSpec((1, 1, bq, head_dim), lambda n_, h_, qb, kb: (n_, h_, qb + kb, 0)),  # k
             pl.BlockSpec((1, 1, bq, head_dim), lambda n_, h_, qb, kb: (n_, h_, qb + kb, 0)),  # v

@@ -171,6 +171,13 @@ class ScanRolloutDriver:
         if not self._packed_valid:
             if self._agent_stale:
                 raise RuntimeError("packed carry invalidated while device-side updates were pending")
+            if jax.tree.structure(self._carry_tuple()) != self._carry_treedef:
+                # Static metadata changed (schedules toggling hook statics,
+                # hook replacement, ...): the packer's treedef — and the fused
+                # program traced through it — bake the old statics in, so a
+                # stale unpack would silently REVERT them.  Rebuild (this is
+                # the documented static_field -> recompile contract).
+                self._build_packed(num_steps)
             self._packed = self._pack_jit(self._carry_tuple())
             self._packed_valid = True
 
@@ -184,6 +191,7 @@ class ScanRolloutDriver:
         example = self._carry_tuple()
         packer = TreePacker(example)
         self._packer = packer
+        self._carry_treedef = jax.tree.structure(example)
         self._pack_jit = jax.jit(packer.pack)
         self._unpack_jit = jax.jit(packer.unpack)
         metric_keys: list[str] = []
