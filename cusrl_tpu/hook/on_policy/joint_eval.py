@@ -108,11 +108,23 @@ class JointPolicyValueEvaluation(Hook):
         critic_input = get_first(batch, "state", "observation")
 
         if actor.backbone._can_fuse(observation):
-            # The fused Pallas kernel already runs each backbone as one
-            # VMEM-resident chain; two kernel invocations inside the same XLA
-            # program beat the stacked-einsum formulation it replaces.
-            actor_latent, _, _ = actor.backbone(observation)
-            critic_latent, _, _ = critic.backbone(critic_input.astype(observation.dtype))
+            # Both same-shape chains run in ONE Pallas kernel invocation per
+            # row tile (fused_mlp_pair) — one pipeline ramp instead of two,
+            # and the input tile is loaded once when actor and critic read the
+            # same observation.
+            from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
+
+            ab, cb = actor.backbone, critic.backbone
+            actor_latent, critic_latent = fused_mlp_pair(
+                observation,
+                critic_input.astype(observation.dtype),
+                tuple(l.weight.T for l in ab.layers),
+                tuple(l.bias[None, :] for l in ab.layers),
+                tuple(l.weight.T for l in cb.layers),
+                tuple(l.bias[None, :] for l in cb.layers),
+                ab.activation,
+                ab.ends_with_activation,
+            )
             batch["curr_action_dist"] = actor.distribution(actor_latent)
             batch["actor_intermediate"] = {"backbone.output": actor_latent}
             batch["curr_value"] = critic.head(critic_latent.astype(jnp.float32))

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mlp", "supports_fused_mlp"]
+__all__ = ["fused_mlp", "fused_mlp_pair", "supports_fused_mlp"]
 
 _SUPPORTED_ACTIVATIONS = ("elu", "relu", "tanh", "identity", "none")
 
@@ -290,3 +290,229 @@ def fused_mlp(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     return _fused_op(x, tuple(weights), tuple(biases), activation, trailing, bool(use_pallas), block_rows, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Paired variant: actor+critic chains in ONE kernel invocation per row tile
+# (halves pipeline ramps; shares the input tile when both nets read the same
+# observation).  Dims must match between the two networks (the PPO presets
+# construct same-shape actor/critic backbones).
+# ---------------------------------------------------------------------------
+
+
+def _pair_fwd_kernel(activation, trailing, nl, xa_ref, xc_ref, *refs):
+    wa = refs[:nl]
+    ba = refs[nl : 2 * nl]
+    wc = refs[2 * nl : 3 * nl]
+    bc = refs[3 * nl : 4 * nl]
+    out_refs = refs[4 * nl :]  # out_a, out_c, ha_1.., hc_1..
+
+    def chain(x_ref, ws, bs, out_ref, h_refs):
+        h = x_ref[...].astype(jnp.bfloat16)
+        for i in range(nl):
+            z = jnp.dot(h, ws[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            z = (z + bs[i][...]).astype(jnp.bfloat16)
+            h = _act_kernel(activation, z) if (i < nl - 1 or trailing) else z
+            if i < nl - 1:
+                h_refs[i][...] = h
+        out_ref[...] = h
+
+    chain(xa_ref, wa, ba, out_refs[0], out_refs[2 : 2 + (nl - 1)])
+    chain(xc_ref, wc, bc, out_refs[1], out_refs[2 + (nl - 1) :])
+
+
+def _pair_bwd_kernel(activation, trailing, nl, xa_ref, xc_ref, ga_ref, gc_ref, *refs):
+    wa = refs[:nl]
+    wc = refs[nl : 2 * nl]
+    ha = refs[2 * nl : 3 * nl]  # h_1..h_{n-1}, out
+    hc = refs[3 * nl : 4 * nl]
+    dxa_ref, dxc_ref = refs[4 * nl], refs[4 * nl + 1]
+    dwa = refs[4 * nl + 2 : 5 * nl + 2]
+    dba = refs[5 * nl + 2 : 6 * nl + 2]
+    dwc = refs[6 * nl + 2 : 7 * nl + 2]
+    dbc = refs[7 * nl + 2 : 8 * nl + 2]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (*dwa, *dba, *dwc, *dbc):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    def chain_bwd(x_ref, g_ref, ws, hs, dx_ref, dws, dbs):
+        d = g_ref[...].astype(jnp.float32)
+        for i in reversed(range(nl)):
+            if i < nl - 1 or trailing:
+                d = d * _dact_from_h(activation, hs[i][...].astype(jnp.float32))
+            d_bf = d.astype(jnp.bfloat16)
+            h_in = x_ref[...].astype(jnp.bfloat16) if i == 0 else hs[i - 1][...]
+            dws[i][...] += jax.lax.dot_general(
+                h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dbs[i][...] += jnp.sum(d, axis=0, keepdims=True)
+            d = jax.lax.dot_general(
+                d_bf, ws[i][...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dx_ref[...] = d
+
+    chain_bwd(xa_ref, ga_ref, wa, ha, dxa_ref, dwa, dba)
+    chain_bwd(xc_ref, gc_ref, wc, hc, dxc_ref, dwc, dbc)
+
+
+def _row_spec(dim, tb):
+    return pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret):
+    n, nl = xa.shape[0], len(wsa)
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    xa_p, xc_p = _pad_rows(xa, n_pad), _pad_rows(xc, n_pad)
+    grid = (n_pad // tb,)
+    out_dim = wsa[-1].shape[1]
+
+    in_specs = [_row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb)]
+    in_specs += [_const_spec(w.shape) for w in wsa] + [_const_spec(b.shape) for b in bsa]
+    in_specs += [_const_spec(w.shape) for w in wsc] + [_const_spec(b.shape) for b in bsc]
+
+    out_specs = [_row_spec(out_dim, tb), _row_spec(out_dim, tb)]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_pad, out_dim), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_pad, out_dim), jnp.bfloat16),
+    ]
+    for ws in (wsa, wsc):
+        for w in ws[:-1]:
+            out_specs.append(_row_spec(w.shape[1], tb))
+            out_shapes.append(jax.ShapeDtypeStruct((n_pad, w.shape[1]), jnp.bfloat16))
+
+    outs = pl.pallas_call(
+        functools.partial(_pair_fwd_kernel, activation, trailing, nl),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xa_p, xc_p, *wsa, *bsa, *wsc, *bsc)
+    out_a, out_c = outs[0][:n], outs[1][:n]
+    ha = tuple(outs[2 : 2 + nl - 1])
+    hc = tuple(outs[2 + nl - 1 :])
+    return out_a, out_c, ha, hc
+
+
+def _pair_run_bwd(xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows, interpret):
+    n, nl = xa.shape[0], len(wsa)
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    xa_p, xc_p = _pad_rows(xa, n_pad), _pad_rows(xc, n_pad)
+    ga_p = _pad_rows(ga.astype(jnp.float32), n_pad)
+    gc_p = _pad_rows(gc.astype(jnp.float32), n_pad)
+    hs_a = tuple(ha) + (_pad_rows(outa, n_pad),)
+    hs_c = tuple(hc) + (_pad_rows(outc, n_pad),)
+    grid = (n_pad // tb,)
+
+    in_specs = [
+        _row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb),
+        _row_spec(ga.shape[1], tb), _row_spec(gc.shape[1], tb),
+    ]
+    in_specs += [_const_spec(w.shape) for w in wsa] + [_const_spec(w.shape) for w in wsc]
+    in_specs += [_row_spec(h.shape[1], tb) for h in hs_a] + [_row_spec(h.shape[1], tb) for h in hs_c]
+
+    out_specs = [_row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb)]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_pad, xa.shape[1]), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, xc.shape[1]), jnp.float32),
+    ]
+    for ws in (wsa, wsc):
+        for w in ws:
+            out_specs.append(_const_spec(w.shape))
+            out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        for w in ws:
+            out_specs.append(_const_spec((1, w.shape[1])))
+            out_shapes.append(jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32))
+    # Interleave to kernel order: dxa, dxc, dwa.., dba.., dwc.., dbc..
+    # (out_specs already in that order by construction above)
+
+    outs = pl.pallas_call(
+        functools.partial(_pair_bwd_kernel, activation, trailing, nl),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xa_p, xc_p, ga_p, gc_p, *wsa, *wsc, *hs_a, *hs_c)
+    dxa, dxc = outs[0][:n], outs[1][:n]
+    dwa = tuple(outs[2 : 2 + nl])
+    dba = tuple(outs[2 + nl : 2 + 2 * nl])
+    dwc = tuple(outs[2 + 2 * nl : 2 + 3 * nl])
+    dbc = tuple(outs[2 + 3 * nl : 2 + 4 * nl])
+    return dxa, dxc, dwa, dba, dwc, dbc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, interpret):
+    if use_pallas:
+        out_a, out_c, _, _ = _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret)
+        return out_a, out_c
+    return (
+        _reference(xa, wsa, bsa, activation, trailing),
+        _reference(xc, wsc, bsc, activation, trailing),
+    )
+
+
+def _pair_op_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, interpret):
+    if use_pallas:
+        out_a, out_c, ha, hc = _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret)
+        return (out_a, out_c), (xa, xc, wsa, wsc, None, None, ha, hc, out_a, out_c)
+    outs = _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, interpret)
+    return outs, (xa, xc, wsa, wsc, bsa, bsc, None, None, None, None)
+
+
+def _pair_op_bwd(activation, trailing, use_pallas, block_rows, interpret, residuals, gs):
+    xa, xc, wsa, wsc, bsa, bsc, ha, hc, outa, outc = residuals
+    ga, gc = gs
+    if use_pallas:
+        dxa, dxc, dwa, dba, dwc, dbc = _pair_run_bwd(
+            xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows, interpret
+        )
+        return dxa.astype(xa.dtype), dxc.astype(xc.dtype), dwa, tuple(dba), dwc, tuple(dbc)
+
+    def f(xa_, xc_, wsa_, bsa_, wsc_, bsc_):
+        return (
+            _reference(xa_, wsa_, bsa_, activation, trailing),
+            _reference(xc_, wsc_, bsc_, activation, trailing),
+        )
+
+    _, vjp = jax.vjp(f, xa, xc, wsa, bsa, wsc, bsc)
+    return vjp((ga, gc))
+
+
+_pair_op.defvjp(_pair_op_fwd, _pair_op_bwd)
+
+
+def fused_mlp_pair(
+    xa,
+    xc,
+    weights_a,
+    biases_a,
+    weights_c,
+    biases_c,
+    activation: str = "elu",
+    trailing: bool = True,
+    *,
+    use_pallas: bool | None = None,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Runs two same-shape linear+activation chains (actor+critic) as ONE
+    fused op — one kernel invocation per row tile for both networks."""
+    activation = activation.lower() if isinstance(activation, str) else activation
+    assert len(weights_a) == len(weights_c)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return _pair_op(
+        xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
+        activation, trailing, bool(use_pallas), block_rows, interpret,
+    )

@@ -211,6 +211,69 @@ print("TFLITE_RESULT " + json.dumps(np.asarray(action).reshape(-1).tolist()))
     np.testing.assert_allclose(action, np.asarray(expected).reshape(-1), atol=1e-4)
 
 
+def test_export_savedmodel_roundtrip_subprocess(tmp_path):
+    """The SavedModel backend must load and execute (TF subprocess), matching
+    the fp32 actor."""
+    import json
+    import subprocess
+    import sys
+
+    env = create_dummy_env()
+    agent = make_agent(env)
+    run_training(agent, env, num_updates=1)
+    from cusrl_tpu.export import _force_fp32_compute
+
+    agent.export(str(tmp_path / "pkg"), target_format="package", verbose=False)
+    obs = np.random.default_rng(1).standard_normal((1, env.spec.observation_dim)).astype(np.float32)
+    expected, _ = _force_fp32_compute(agent.state.actor).act_deterministic(obs)
+    np.save(tmp_path / "obs.npy", obs)
+
+    script = f"""
+import json, os, sys
+import numpy as np
+sys.path.insert(0, {str(os.getcwd())!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from cusrl_tpu.export import export_agent, load_exported_policy
+
+class _State:
+    hooks = ()
+    def replace(self, **kw):
+        import copy
+        s = copy.copy(self)
+        for k, v in kw.items():
+            setattr(s, k, v)
+        return s
+
+class AgentShim:
+    class _Spec:
+        observation_dim = {env.spec.observation_dim}
+        action_dim = {env.spec.action_dim}
+        observation_normalization = None
+        action_denormalization = None
+    environment_spec = _Spec()
+    state = _State()
+    state.actor = load_exported_policy({str(tmp_path / 'pkg')!r})
+
+export_agent(AgentShim(), {str(tmp_path / 'sm')!r}, target_format="savedmodel", verbose=False)
+
+import tensorflow as tf
+module = tf.saved_model.load({str(tmp_path / 'sm' / 'saved_model')!r})
+obs = np.load({str(tmp_path / 'obs.npy')!r})
+out = module.f({{"observation": tf.constant(obs)}})
+action = out["action"].numpy()
+print("SM_RESULT " + json.dumps(np.asarray(action).reshape(-1).tolist()))
+"""
+    result = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600, cwd=os.getcwd()
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    line = [l for l in result.stdout.splitlines() if l.startswith("SM_RESULT ")][-1]
+    action = np.asarray(json.loads(line[len("SM_RESULT "):]), np.float32)
+    np.testing.assert_allclose(action, np.asarray(expected).reshape(-1), atol=1e-4)
+
+
 def test_export_with_prediction_heads(tmp_path):
     from cusrl_tpu.hook import ReturnPrediction
 

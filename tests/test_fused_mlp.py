@@ -92,6 +92,47 @@ def test_fused_mlp_ragged_rows_and_single_layer():
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(expected, np.float32), atol=2e-2)
 
 
+def test_fused_mlp_pair_matches_two_single_calls():
+    """fused_mlp_pair (one kernel for both nets) must equal two independent
+    fused_mlp calls in outputs AND parameter/input gradients."""
+    from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
+
+    dims = (24, 64, 32)
+    wsa, bsa = make_params(jax.random.key(20), dims)
+    wsc, bsc = make_params(jax.random.key(21), dims)
+    xa = jax.random.normal(jax.random.key(22), (100, dims[0]), jnp.float32)
+    xc = jax.random.normal(jax.random.key(23), (100, dims[0]), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(24), (100, dims[-1]), jnp.float32)
+
+    out_a, out_c = fused_mlp_pair(
+        xa, xc, wsa, bsa, wsc, bsc, "elu", True, use_pallas=True, block_rows=32, interpret=True
+    )
+    ref_a = _reference(xa, wsa, bsa, "elu", True)
+    ref_c = _reference(xc, wsc, bsc, "elu", True)
+    np.testing.assert_allclose(np.asarray(out_a, np.float32), np.asarray(ref_a, np.float32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_c, np.float32), np.asarray(ref_c, np.float32), atol=2e-2)
+
+    def loss_pair(params, xa_, xc_):
+        (wa, ba), (wc, bc) = params
+        a, c = fused_mlp_pair(xa_, xc_, wa, ba, wc, bc, "elu", True,
+                              use_pallas=True, block_rows=32, interpret=True)
+        return jnp.mean(jnp.square(a.astype(jnp.float32) - tgt)) + jnp.mean(
+            jnp.square(c.astype(jnp.float32) - 2.0 * tgt))
+
+    def loss_ref(params, xa_, xc_):
+        (wa, ba), (wc, bc) = params
+        a = _reference(xa_, wa, ba, "elu", True)
+        c = _reference(xc_, wc, bc, "elu", True)
+        return jnp.mean(jnp.square(a.astype(jnp.float32) - tgt)) + jnp.mean(
+            jnp.square(c.astype(jnp.float32) - 2.0 * tgt))
+
+    params = ((wsa, bsa), (wsc, bsc))
+    g_pair = jax.grad(loss_pair, argnums=(0, 1, 2))(params, xa, xc)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, xa, xc)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pair)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-3, rtol=3e-2)
+
+
 def test_fused_mlp_reference_matches_mlp_module():
     """The kernel's XLA reference and the Mlp module produce identical outputs
     (same cast placement), so swapping the backbone onto the kernel preserves
