@@ -40,6 +40,14 @@ from cusrl_tpu.template import (
     Trial,
     make_logger_factory,
 )
+from cusrl_tpu.export import (
+    ExportedStatefulPolicy,
+    InferencePolicy,
+    InferenceWrapper,
+    export_agent,
+    load_exported_graph,
+    load_exported_policy,
+)
 from cusrl_tpu.utils import CONFIG, Metrics, Rate, Timer, set_global_seed
 
 __version__ = "0.1.0"
