@@ -28,6 +28,9 @@ def main() -> None:
     steps_per_update = int(os.environ.get("BENCH_STEPS", 24))
     warmup_iters = int(os.environ.get("BENCH_WARMUP", 3))
     timed_iters = int(os.environ.get("BENCH_ITERS", 20))
+    # Iterations per jitted dispatch (ScanRolloutDriver.collect_and_update_many;
+    # also a Trainer knob).  Amortizes the per-dispatch host overhead.
+    chunk = max(1, int(os.environ.get("BENCH_CHUNK", 10)))
 
     env = VelocityLocomotionEnv(num_instances=num_envs)
     factory = cusrl_tpu.PpoAgentFactory(
@@ -54,23 +57,28 @@ def main() -> None:
         distribute_agent(agent)
     driver = ScanRolloutDriver(agent, env)
 
-    def one_iteration():
-        # One fused jitted call per iteration; nothing fetched to host.
-        driver.collect_and_update(steps_per_update)
-        agent.iteration += 1
+    def run_iterations(n: int):
+        # Fused jitted dispatches (chunk iterations each); nothing fetched to
+        # host.  collect_and_update_many advances agent.iteration itself.
+        remaining = n
+        while remaining > 0:
+            step = min(chunk, remaining)
+            driver.collect_and_update_many(steps_per_update, step)
+            remaining -= step
 
     def barrier():
         # Block on the packed carry (reading agent.state would force an
         # unpack dispatch); fall back to the state for the unpacked path.
         jax.block_until_ready(driver._packed if driver._packed is not None else agent.state)
 
-    for _ in range(warmup_iters):
-        one_iteration()
+    # Warm both the chunked program and (if the tail needs it) the remainder.
+    run_iterations(max(warmup_iters, min(chunk, timed_iters)))
+    if timed_iters % chunk:
+        run_iterations(timed_iters % chunk)
     barrier()
 
     start = time.perf_counter()
-    for _ in range(timed_iters):
-        one_iteration()
+    run_iterations(timed_iters)
     barrier()
     elapsed = time.perf_counter() - start
 

@@ -275,7 +275,7 @@ def fused_mlp(
     trailing: bool = True,
     *,
     use_pallas: bool | None = None,
-    block_rows: int = 2048,
+    block_rows: int = 1024,
     interpret: bool = False,
 ):
     """Runs the full linear+activation chain as one fused op.
@@ -503,7 +503,7 @@ def fused_mlp_pair(
     trailing: bool = True,
     *,
     use_pallas: bool | None = None,
-    block_rows: int = 2048,
+    block_rows: int = 1024,
     interpret: bool = False,
 ):
     """Runs two same-shape linear+activation chains (actor+critic) as ONE

@@ -137,6 +137,7 @@ class Trainer:
         metadata: dict[str, Any] | None = None,
         profile_dir: str | None = None,
         profile_iterations: tuple[int, int] = (3, 6),
+        iterations_per_dispatch: int = 1,
     ):
         self.environment = environment() if callable(environment) and not hasattr(environment, "spec") else environment
         self.agent: Agent = agent_factory.from_environment(self.environment)
@@ -154,6 +155,13 @@ class Trainer:
         self._scan_driver = None
         self._host_obs = None
         self._host_state = None
+        # Multi-iteration fused dispatch (scan driver only): run up to K full
+        # training iterations per jitted call and per host transfer.  Chunks
+        # never cross a checkpoint boundary, so checkpoints stay consistent
+        # with the logged iteration.
+        self.iterations_per_dispatch = max(1, int(iterations_per_dispatch))
+        self._pending_rows: list[np.ndarray] = []
+        self._pending_keys: tuple[str, ...] = ()
 
         if checkpoint is not None:
             self.load_checkpoint(checkpoint)
@@ -289,6 +297,9 @@ class Trainer:
         if self._scan_driver is None:
             self._scan_driver = ScanRolloutDriver(self.agent, self.environment)
 
+        if self.iterations_per_dispatch > 1:
+            return self._rollout_and_update_scan_chunked()
+
         with self.timer.record("agent"):
             aggregates, stacked, keys = self._scan_driver.collect_and_update(self.agent.num_steps_per_update)
             # ONE host transfer per iteration: stats aggregates + all metrics.
@@ -299,6 +310,35 @@ class Trainer:
         self.agent.step_index = self.agent.num_steps_per_update
         self.agent.record(dict(zip(keys, values[3:])))
         return self.agent.finish_update()
+
+    def _rollout_and_update_scan_chunked(self) -> dict[str, float]:
+        """K iterations per jitted dispatch + host transfer.  Each call still
+        returns ONE iteration's metrics (the run loop's cadence is unchanged);
+        device work and transfers happen on the first call of each chunk."""
+        if not self._pending_rows:
+            logical = self.agent.iteration
+            boundary = self.checkpoint_interval - (logical % self.checkpoint_interval)
+            chunk = max(1, min(self.iterations_per_dispatch, self.num_iterations - logical, boundary))
+            with self.timer.record("agent"):
+                aggregates, stacked, keys = self._scan_driver.collect_and_update_many(
+                    self.agent.num_steps_per_update, chunk
+                )
+                values = np.asarray(
+                    jnp.concatenate([jnp.asarray(aggregates, jnp.float32), stacked], axis=1)
+                )
+            self._pending_rows = [values[i] for i in range(values.shape[0])]
+            self._pending_keys = keys
+        row = self._pending_rows.pop(0)
+        count, return_sum, length_sum = (float(x) for x in row[:3])
+        steps = self.agent.num_steps_per_update * self.environment.num_instances * distributed.world_size()
+        self.stats.track_aggregates(count, return_sum, length_sum, steps)
+        # collect_and_update_many already advanced agent.iteration and applied
+        # schedules; only summarize this iteration's metrics here.
+        self.agent.step_index = 0
+        self.agent.record(dict(zip(self._pending_keys, row[3:])))
+        summary = self.agent.metrics.summary()
+        self.agent.metrics.clear()
+        return summary
 
     # -- logging ---------------------------------------------------------------
 
