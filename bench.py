@@ -30,7 +30,7 @@ def main() -> None:
     timed_iters = int(os.environ.get("BENCH_ITERS", 20))
     # Iterations per jitted dispatch (ScanRolloutDriver.collect_and_update_many;
     # also a Trainer knob).  Amortizes the per-dispatch host overhead.
-    chunk = max(1, int(os.environ.get("BENCH_CHUNK", 10)))
+    chunk = max(1, int(os.environ.get("BENCH_CHUNK", 1)))
 
     env = VelocityLocomotionEnv(num_instances=num_envs)
     factory = cusrl_tpu.PpoAgentFactory(

@@ -71,6 +71,50 @@ def state_with_view(state: AgentState, view: dict) -> AgentState:
     return state.replace(actor=view["actor"], critic=view["critic"], hooks=hooks)
 
 
+class _KeyRecorder(dict):
+    """Batch-dict view that records which fields the hook fold reads.
+
+    ``[]``/``get``/``in`` record the key; enumerating the dict (``keys``,
+    ``items``, ``values``, iteration) trips the conservative fallback flag —
+    the caller then keeps every field."""
+
+    def __init__(self, data, accessed: set, fallback: list):
+        super().__init__(data)
+        self._accessed = accessed
+        self._fallback = fallback
+
+    def copy(self):
+        return _KeyRecorder(dict.items(self), self._accessed, self._fallback)
+
+    def __getitem__(self, key):
+        self._accessed.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        self._accessed.add(key)
+        return super().get(key, default)
+
+    def __contains__(self, key):
+        self._accessed.add(key)
+        return super().__contains__(key)
+
+    def keys(self):
+        self._fallback[0] = True
+        return super().keys()
+
+    def items(self):
+        self._fallback[0] = True
+        return super().items()
+
+    def values(self):
+        self._fallback[0] = True
+        return super().values()
+
+    def __iter__(self):
+        self._fallback[0] = True
+        return super().__iter__()
+
+
 class ActorCritic(Agent):
     Factory: type["ActorCriticFactory"]  # assigned below
 
@@ -248,6 +292,27 @@ class ActorCritic(Agent):
         new_memory = reset_memory(memory, transition["done"])
         return state, transition, new_memory
 
+    def _record_batch_keys(self, state: AgentState, metadata: dict, flat: dict):
+        """Trace-time probe: runs the objective + post_objective fold once on a
+        1-row recording view of the flattened rollout and returns the set of
+        batch fields it reads (None = keep everything).  The probe's tracer
+        computation has no consumers, so XLA dead-code-eliminates it; only the
+        recorded key set survives, letting the epoch machinery skip shuffling
+        fields the update never touches."""
+        accessed: set = set()
+        fallback = [False]
+        example = {k: jax.tree.map(lambda x: x[:1], v) for k, v in flat.items()}
+        metadata = {**metadata, "epoch_index": jnp.zeros((), jnp.int32), "mini_batch_index": jnp.zeros((), jnp.int32)}
+        recorder = _KeyRecorder(example, accessed, fallback)
+        try:
+            probe_state, batch2, _obj, _m = self._composite.objective(state, metadata, recorder)
+            self._composite.post_objective(probe_state, metadata, batch2)
+        except Exception:
+            return None
+        if fallback[0]:
+            return None
+        return accessed
+
     def update_body(self, state: AgentState, rollout: dict, key: jax.Array):
         """Pure: returns (state, metrics). The whole learner step."""
         snapshot = (state.actor, state.critic, state.hooks, state.opt_state)
@@ -290,8 +355,8 @@ class ActorCritic(Agent):
             step_metrics.update(m_post_obj)
             return st, step_metrics
 
-        # TPU fast path: one shuffle-gather per epoch, minibatches as contiguous
-        # slices (random-index gathers per minibatch are HBM-unfriendly).
+        # TPU fast path: tile-granular shuffles, minibatches as tile gathers
+        # (random ROW gathers of the full rollout are HBM-catastrophic).
         epoch_plan = None
         if hasattr(self.sampler, "make_epoch_plan"):
             epoch_plan = self.sampler.make_epoch_plan(key, capacity, parallelism, rollout)
@@ -302,13 +367,39 @@ class ActorCritic(Agent):
             block = static_meta.get("shuffle_block", 1)
             flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rollout)
 
+            # Restrict the shuffled/gathered fields to those the objective fold
+            # actually reads (trace-time recording probe; hooks that enumerate
+            # the batch fall back to the full field set).  The rollout holds
+            # ~2x more bytes than the update consumes (next_observation,
+            # rewards, done flags only feed pre/post-update passes), so this
+            # halves per-epoch HBM traffic.
+            needed = self._record_batch_keys(state, dict(static_meta), flat)
+            if needed is not None:
+                flat = {k: v for k, v in flat.items() if k in needed}
+
+            use_tile_gather = block > 1 and batch_size % block == 0
+            if use_tile_gather:
+                tiles_per_mb = batch_size // block
+                tiled = jax.tree.map(lambda x: x.reshape((-1, block) + x.shape[1:]), flat)
+
             def epoch_body(carry, xs):
                 epoch_index, perm = xs
+                if use_tile_gather:
+                    # Fused shuffle+slice: each minibatch gathers its own
+                    # contiguous-tile subset of the epoch permutation directly
+                    # from the rollout — no materialized shuffled copy.  Batch
+                    # contents are bit-identical to shuffle-then-slice.
+                    def mb_body(inner_carry, mb_index):
+                        idx = jax.lax.dynamic_slice_in_dim(perm, mb_index * tiles_per_mb, tiles_per_mb, 0)
+                        batch = jax.tree.map(
+                            lambda x: x[idx].reshape((batch_size,) + x.shape[2:]), tiled
+                        )
+                        metadata = {**static_meta, "epoch_index": epoch_index, "mini_batch_index": mb_index}
+                        return train_step(inner_carry, metadata, batch)
+
+                    return jax.lax.scan(mb_body, carry, jnp.arange(num_mb))
+
                 if block > 1:
-                    # Tile-granular shuffle: gather contiguous `block`-row
-                    # tiles (one DMA each) instead of single rows — random
-                    # row gathers of the full rollout dominate the iteration
-                    # on TPU (see sampler.shuffle_block_size).
                     shuffled = jax.tree.map(
                         lambda x: x.reshape((-1, block) + x.shape[1:])[perm].reshape(x.shape), flat
                     )

@@ -214,7 +214,9 @@ class HookComposite:
         metrics: dict = {}
         # Hooks mutate the batch dict; work on a shallow copy so repeated
         # invocations of this fold (grad probe + grad trace) stay idempotent.
-        batch = dict(batch)
+        # ``.copy()`` (not ``dict(...)``) preserves recording views — see
+        # ActorCritic._record_batch_keys.
+        batch = batch.copy()
         hooks = list(state.hooks)
         for i, hook in enumerate(hooks):
             if not self._active(hook):
