@@ -20,6 +20,12 @@ NORTH_STAR_STEPS_PER_S = 10_000_000.0
 def main() -> None:
     import jax
 
+    # Optional PRNG implementation override (e.g. BENCH_PRNG=rbg): threefry is
+    # the jax default but costs real VPU time per rollout step on TPU; rbg uses
+    # the hardware RNG path.  Affects random streams, not statistics quality.
+    if os.environ.get("BENCH_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+
     import cusrl_tpu
     from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
     from cusrl_tpu.template.rollout import ScanRolloutDriver

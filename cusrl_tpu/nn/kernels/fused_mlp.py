@@ -103,7 +103,7 @@ def _reference(x, weights, biases, activation: str, trailing: bool):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(activation, trailing, num_layers, x_ref, *refs):
+def _fwd_kernel(activation, trailing, num_layers, save_hiddens, x_ref, *refs):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers : 2 * num_layers]
     out_ref = refs[2 * num_layers]
@@ -113,7 +113,7 @@ def _fwd_kernel(activation, trailing, num_layers, x_ref, *refs):
         z = jnp.dot(h, w_refs[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
         z = (z + b_refs[i][...]).astype(jnp.bfloat16)
         h = _act_kernel(activation, z) if (i < num_layers - 1 or trailing) else z
-        if i < num_layers - 1:
+        if save_hiddens and i < num_layers - 1:
             h_refs[i][...] = h
     out_ref[...] = h
 
@@ -154,9 +154,12 @@ def _pad_rows(a, rows):
     return a if pad == 0 else jnp.pad(a, ((0, pad), (0, 0)))
 
 
-def _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret):
+def _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret, save_hiddens=True):
     """Returns (out[:n], hiddens) — hiddens are the PADDED h_1..h_{n-1} saved
-    for the backward kernel (padding rows are dead there: g is zero-padded)."""
+    for the backward kernel (padding rows are dead there: g is zero-padded).
+    ``save_hiddens=False`` (primal-only calls: rollout explore, deferred value
+    passes, KL statistics) skips those outputs entirely — they are dead HBM
+    writes when no backward pass will consume them."""
     n, num_layers = x.shape[0], len(weights)
     tb = min(block_rows, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tb) * tb
@@ -172,12 +175,13 @@ def _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret):
 
     out_specs = [pl.BlockSpec((tb, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((n_pad, out_dim), jnp.bfloat16)]
-    for w in weights[:-1]:
-        out_specs.append(pl.BlockSpec((tb, w.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((n_pad, w.shape[1]), jnp.bfloat16))
+    if save_hiddens:
+        for w in weights[:-1]:
+            out_specs.append(pl.BlockSpec((tb, w.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((n_pad, w.shape[1]), jnp.bfloat16))
 
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, activation, trailing, num_layers),
+        functools.partial(_fwd_kernel, activation, trailing, num_layers, save_hiddens),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -238,25 +242,27 @@ def _run_bwd(x, g, weights, hiddens, out, activation, trailing, block_rows, inte
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fused_op(x, weights, biases, activation, trailing, use_pallas, block_rows, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fused_op(x, weights, biases, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret):
     if use_pallas:
-        return _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret)[0]
+        return _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret, save_hiddens=False)[0]
     return _reference(x, weights, biases, activation, trailing)
 
 
-def _fused_op_fwd(x, weights, biases, activation, trailing, use_pallas, block_rows, interpret):
+def _fused_op_fwd(x, weights, biases, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret):
     if use_pallas:
-        out, hiddens = _run_fwd(x, weights, biases, activation, trailing, block_rows, interpret)
+        # Grad-path forward (saves hiddens -> 3x the VMEM of the primal):
+        # tile at the backward's (smaller) block size.
+        out, hiddens = _run_fwd(x, weights, biases, activation, trailing, block_rows_bwd or block_rows, interpret)
         return out, (x, weights, None, hiddens, out)
     out = _reference(x, weights, biases, activation, trailing)
     return out, (x, weights, biases, None, None)
 
 
-def _fused_op_bwd(activation, trailing, use_pallas, block_rows, interpret, residuals, g):
+def _fused_op_bwd(activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, residuals, g):
     x, weights, biases, hiddens, out = residuals
     if use_pallas:
-        dx, dws, dbs = _run_bwd(x, g, weights, hiddens, out, activation, trailing, block_rows, interpret)
+        dx, dws, dbs = _run_bwd(x, g, weights, hiddens, out, activation, trailing, block_rows_bwd or block_rows, interpret)
         dbs = tuple(db.reshape(1, -1) for db in dbs)
     else:
         _, vjp = jax.vjp(lambda x_, ws_, bs_: _reference(x_, ws_, bs_, activation, trailing), x, weights, biases)
@@ -275,7 +281,8 @@ def fused_mlp(
     trailing: bool = True,
     *,
     use_pallas: bool | None = None,
-    block_rows: int = 1024,
+    block_rows: int = 2048,
+    block_rows_bwd: int | None = 1024,
     interpret: bool = False,
 ):
     """Runs the full linear+activation chain as one fused op.
@@ -289,7 +296,9 @@ def fused_mlp(
         return _reference(x, weights, biases, activation, trailing)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    return _fused_op(x, tuple(weights), tuple(biases), activation, trailing, bool(use_pallas), block_rows, interpret)
+    return _fused_op(
+        x, tuple(weights), tuple(biases), activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +309,7 @@ def fused_mlp(
 # ---------------------------------------------------------------------------
 
 
-def _pair_fwd_kernel(activation, trailing, nl, xa_ref, xc_ref, *refs):
+def _pair_fwd_kernel(activation, trailing, nl, save_hiddens, xa_ref, xc_ref, *refs):
     wa = refs[:nl]
     ba = refs[nl : 2 * nl]
     wc = refs[2 * nl : 3 * nl]
@@ -313,12 +322,16 @@ def _pair_fwd_kernel(activation, trailing, nl, xa_ref, xc_ref, *refs):
             z = jnp.dot(h, ws[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
             z = (z + bs[i][...]).astype(jnp.bfloat16)
             h = _act_kernel(activation, z) if (i < nl - 1 or trailing) else z
-            if i < nl - 1:
+            if save_hiddens and i < nl - 1:
                 h_refs[i][...] = h
         out_ref[...] = h
 
-    chain(xa_ref, wa, ba, out_refs[0], out_refs[2 : 2 + (nl - 1)])
-    chain(xc_ref, wc, bc, out_refs[1], out_refs[2 + (nl - 1) :])
+    if save_hiddens:
+        chain(xa_ref, wa, ba, out_refs[0], out_refs[2 : 2 + (nl - 1)])
+        chain(xc_ref, wc, bc, out_refs[1], out_refs[2 + (nl - 1) :])
+    else:
+        chain(xa_ref, wa, ba, out_refs[0], ())
+        chain(xc_ref, wc, bc, out_refs[1], ())
 
 
 def _pair_bwd_kernel(activation, trailing, nl, xa_ref, xc_ref, ga_ref, gc_ref, *refs):
@@ -366,7 +379,7 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret):
+def _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret, save_hiddens=True):
     n, nl = xa.shape[0], len(wsa)
     tb = min(block_rows, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tb) * tb
@@ -383,13 +396,14 @@ def _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, 
         jax.ShapeDtypeStruct((n_pad, out_dim), jnp.bfloat16),
         jax.ShapeDtypeStruct((n_pad, out_dim), jnp.bfloat16),
     ]
-    for ws in (wsa, wsc):
-        for w in ws[:-1]:
-            out_specs.append(_row_spec(w.shape[1], tb))
-            out_shapes.append(jax.ShapeDtypeStruct((n_pad, w.shape[1]), jnp.bfloat16))
+    if save_hiddens:
+        for ws in (wsa, wsc):
+            for w in ws[:-1]:
+                out_specs.append(_row_spec(w.shape[1], tb))
+                out_shapes.append(jax.ShapeDtypeStruct((n_pad, w.shape[1]), jnp.bfloat16))
 
     outs = pl.pallas_call(
-        functools.partial(_pair_fwd_kernel, activation, trailing, nl),
+        functools.partial(_pair_fwd_kernel, activation, trailing, nl, save_hiddens),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -451,10 +465,12 @@ def _pair_run_bwd(xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trai
     return dxa, dxc, dwa, dba, dwc, dbc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret):
     if use_pallas:
-        out_a, out_c, _, _ = _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret)
+        out_a, out_c, _, _ = _pair_run_fwd(
+            xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret, save_hiddens=False
+        )
         return out_a, out_c
     return (
         _reference(xa, wsa, bsa, activation, trailing),
@@ -462,20 +478,22 @@ def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block
     )
 
 
-def _pair_op_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, interpret):
+def _pair_op_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret):
     if use_pallas:
-        out_a, out_c, ha, hc = _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret)
+        out_a, out_c, ha, hc = _pair_run_fwd(
+            xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows_bwd or block_rows, interpret
+        )
         return (out_a, out_c), (xa, xc, wsa, wsc, None, None, ha, hc, out_a, out_c)
-    outs = _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, interpret)
+    outs = _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret)
     return outs, (xa, xc, wsa, wsc, bsa, bsc, None, None, None, None)
 
 
-def _pair_op_bwd(activation, trailing, use_pallas, block_rows, interpret, residuals, gs):
+def _pair_op_bwd(activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, residuals, gs):
     xa, xc, wsa, wsc, bsa, bsc, ha, hc, outa, outc = residuals
     ga, gc = gs
     if use_pallas:
         dxa, dxc, dwa, dba, dwc, dbc = _pair_run_bwd(
-            xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows, interpret
+            xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows_bwd or block_rows, interpret
         )
         return dxa.astype(xa.dtype), dxc.astype(xc.dtype), dwa, tuple(dba), dwc, tuple(dbc)
 
@@ -503,7 +521,8 @@ def fused_mlp_pair(
     trailing: bool = True,
     *,
     use_pallas: bool | None = None,
-    block_rows: int = 1024,
+    block_rows: int = 2048,
+    block_rows_bwd: int | None = 1024,
     interpret: bool = False,
 ):
     """Runs two same-shape linear+activation chains (actor+critic) as ONE
@@ -514,5 +533,5 @@ def fused_mlp_pair(
         use_pallas = jax.default_backend() == "tpu"
     return _pair_op(
         xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
-        activation, trailing, bool(use_pallas), block_rows, interpret,
+        activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret,
     )

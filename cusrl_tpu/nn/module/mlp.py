@@ -63,10 +63,13 @@ class Mlp(Module):
     def _can_fuse(self, x: jax.Array) -> bool:
         from cusrl_tpu.nn.kernels.fused_mlp import supports_fused_mlp
 
+        rows = 1
+        for dim in x.shape[:-1]:
+            rows *= dim
         return (
             self.fused_kernel
-            and x.ndim == 2
-            and x.shape[0] >= 256
+            and x.ndim >= 2
+            and rows >= 256
             and jax.default_backend() == "tpu"
             and not _inside_mesh()
             and supports_fused_mlp(self.activation, len(self.layers))
@@ -77,14 +80,15 @@ class Mlp(Module):
         if self._can_fuse(x):
             from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp
 
+            batch_shape = x.shape[:-1]
             out = fused_mlp(
-                x,
+                x.reshape(-1, x.shape[-1]),
                 tuple(l.weight.T for l in self.layers),
                 tuple(l.bias[None, :] for l in self.layers),
                 self.activation,
                 self.ends_with_activation,
             )
-            return out, memory, {}
+            return out.reshape(*batch_shape, out.shape[-1]), memory, {}
         act = self.activation_fn
         for index, layer in enumerate(self.layers):
             x = layer(x)
