@@ -124,6 +124,9 @@ class JointPolicyValueEvaluation(Hook):
                 tuple(l.bias[None, :] for l in cb.layers),
                 ab.activation,
                 ab.ends_with_activation,
+                # Observations/states are rollout data, never differentiated:
+                # the backward kernel skips the first layer's dX entirely.
+                skip_input_grad=True,
             )
             batch["curr_action_dist"] = actor.distribution(actor_latent)
             batch["actor_intermediate"] = {"backbone.output": actor_latent}

@@ -18,7 +18,15 @@ __all__ = ["OnPolicyStatistics", "compute_rollout_kl"]
 
 
 def compute_rollout_kl(state, rollout):
-    """Mean KL(old || current) over the whole [T, N] rollout (sequence mode)."""
+    """Mean KL(old || current) over the whole [T, N] rollout (sequence mode).
+
+    Caches the result in the rollout dict: OnPolicyStatistics and the KL LR
+    schedules both need this full-rollout actor pass, and XLA does not CSE the
+    (custom-call) Pallas kernels the pass lowers to — without the cache the
+    98k-row forward would run twice per update."""
+    cached = rollout.get("__post_update_kl__")
+    if cached is not None and cached[0] is state.actor:  # same traced actor object
+        return cached[1]
     actor = state.actor
     memory = rollout.get("actor_memory")
     if memory is not None:
@@ -27,7 +35,9 @@ def compute_rollout_kl(state, rollout):
         rollout["observation"], memory, sequential=actor.is_recurrent, done=rollout.get("done")
     )
     kl = actor.compute_kl_div(rollout["action_dist"], action_dist)
-    return jnp.mean(kl), action_dist
+    result = (jnp.mean(kl), action_dist)
+    rollout["__post_update_kl__"] = (state.actor, result)
+    return result
 
 
 class OnPolicyStatistics(Hook):

@@ -88,22 +88,13 @@ class ValueComputation(Hook):
         if self.deferred:
             observation = get_first(rollout, "state", "observation")
             if self.bootstrap_truncated_states:
-                # One 2·T·N critic pass instead of two T·N passes.  Concatenate
-                # the FLATTENED [T*N, D] views (concatenating the [T, N, D]
-                # stacks forces whole-rollout layout copies on TPU — the scan
-                # emits time-minor layouts).
-                horizon, n = observation.shape[:2]
-                flat2d = jnp.concatenate(
-                    [
-                        observation.reshape(horizon * n, *observation.shape[2:]),
-                        next_state.reshape(horizon * n, *next_state.shape[2:]),
-                    ],
-                    axis=0,
-                )
-                v, _, _ = critic(flat2d, None)
-                stacked = v.reshape(2 * horizon, n, -1)
-                rollout = {**rollout, "value": stacked[:horizon]}
-                bootstrap = stacked[horizon:]
+                # Two T·N critic passes (obs, next_obs).  Concatenating into
+                # one 2·T·N pass forces a whole-rollout copy first (the scan
+                # emits time-minor layouts that the concat must normalize);
+                # separate passes read each stack in place and only pay one
+                # extra kernel pipeline ramp.
+                rollout = {**rollout, "value": eval_batched(observation, None)}
+                bootstrap = eval_batched(next_state, None)
             else:
                 rollout = {**rollout, "value": eval_batched(observation, None)}
         value = rollout["value"]  # [T, N, Dr]

@@ -26,6 +26,7 @@ unsupported activations, higher-order autodiff) and the correctness oracle.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_mlp", "fused_mlp_pair", "supports_fused_mlp"]
+
+# Sweepable defaults (benchmarks/tpu_fused_mlp_check.py): forward row tile and
+# backward row tile.  The backward holds saved activations + fp32 dW/db
+# accumulators in VMEM, so its tile is smaller.
+_DEFAULT_BLOCK = int(os.environ.get("CUSRL_TPU_FUSED_BLOCK", 2048))
+_DEFAULT_BLOCK_BWD = int(os.environ.get("CUSRL_TPU_FUSED_BLOCK_BWD", 1024))
 
 _SUPPORTED_ACTIVATIONS = ("elu", "relu", "tanh", "identity", "none")
 
@@ -281,8 +288,8 @@ def fused_mlp(
     trailing: bool = True,
     *,
     use_pallas: bool | None = None,
-    block_rows: int = 2048,
-    block_rows_bwd: int | None = 1024,
+    block_rows: int | None = None,
+    block_rows_bwd: int | None = None,
     interpret: bool = False,
 ):
     """Runs the full linear+activation chain as one fused op.
@@ -296,6 +303,8 @@ def fused_mlp(
         return _reference(x, weights, biases, activation, trailing)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    block_rows = block_rows or _DEFAULT_BLOCK
+    block_rows_bwd = block_rows_bwd or _DEFAULT_BLOCK_BWD
     return _fused_op(
         x, tuple(weights), tuple(biases), activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret
     )
@@ -334,16 +343,21 @@ def _pair_fwd_kernel(activation, trailing, nl, save_hiddens, xa_ref, xc_ref, *re
         chain(xc_ref, wc, bc, out_refs[1], ())
 
 
-def _pair_bwd_kernel(activation, trailing, nl, xa_ref, xc_ref, ga_ref, gc_ref, *refs):
+def _pair_bwd_kernel(activation, trailing, nl, skip_input_grad, xa_ref, xc_ref, ga_ref, gc_ref, *refs):
     wa = refs[:nl]
     wc = refs[nl : 2 * nl]
     ha = refs[2 * nl : 3 * nl]  # h_1..h_{n-1}, out
     hc = refs[3 * nl : 4 * nl]
-    dxa_ref, dxc_ref = refs[4 * nl], refs[4 * nl + 1]
-    dwa = refs[4 * nl + 2 : 5 * nl + 2]
-    dba = refs[5 * nl + 2 : 6 * nl + 2]
-    dwc = refs[6 * nl + 2 : 7 * nl + 2]
-    dbc = refs[7 * nl + 2 : 8 * nl + 2]
+    refs = refs[4 * nl :]
+    if skip_input_grad:
+        dxa_ref = dxc_ref = None
+    else:
+        dxa_ref, dxc_ref = refs[0], refs[1]
+        refs = refs[2:]
+    dwa = refs[:nl]
+    dba = refs[nl : 2 * nl]
+    dwc = refs[2 * nl : 3 * nl]
+    dbc = refs[3 * nl : 4 * nl]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -361,11 +375,16 @@ def _pair_bwd_kernel(activation, trailing, nl, xa_ref, xc_ref, ga_ref, gc_ref, *
                 h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             dbs[i][...] += jnp.sum(d, axis=0, keepdims=True)
+            if i == 0 and dx_ref is None:
+                # Input cotangent unused by the caller (observations are data,
+                # not parameters): skip the first layer's dX matmul + write.
+                break
             d = jax.lax.dot_general(
                 d_bf, ws[i][...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        dx_ref[...] = d
+        if dx_ref is not None:
+            dx_ref[...] = d
 
     chain_bwd(xa_ref, ga_ref, wa, ha, dxa_ref, dwa, dba)
     chain_bwd(xc_ref, gc_ref, wc, hc, dxc_ref, dwc, dbc)
@@ -416,7 +435,10 @@ def _pair_run_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, 
     return out_a, out_c, ha, hc
 
 
-def _pair_run_bwd(xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows, interpret):
+def _pair_run_bwd(
+    xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows, interpret,
+    skip_input_grad=False,
+):
     n, nl = xa.shape[0], len(wsa)
     tb = min(block_rows, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tb) * tb
@@ -434,11 +456,14 @@ def _pair_run_bwd(xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trai
     in_specs += [_const_spec(w.shape) for w in wsa] + [_const_spec(w.shape) for w in wsc]
     in_specs += [_row_spec(h.shape[1], tb) for h in hs_a] + [_row_spec(h.shape[1], tb) for h in hs_c]
 
-    out_specs = [_row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb)]
-    out_shapes = [
-        jax.ShapeDtypeStruct((n_pad, xa.shape[1]), jnp.float32),
-        jax.ShapeDtypeStruct((n_pad, xc.shape[1]), jnp.float32),
-    ]
+    out_specs = []
+    out_shapes = []
+    if not skip_input_grad:
+        out_specs += [_row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb)]
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_pad, xa.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, xc.shape[1]), jnp.float32),
+        ]
     for ws in (wsa, wsc):
         for w in ws:
             out_specs.append(_const_spec(w.shape))
@@ -446,27 +471,30 @@ def _pair_run_bwd(xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trai
         for w in ws:
             out_specs.append(_const_spec((1, w.shape[1])))
             out_shapes.append(jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32))
-    # Interleave to kernel order: dxa, dxc, dwa.., dba.., dwc.., dbc..
-    # (out_specs already in that order by construction above)
+    # Kernel order: [dxa, dxc,] dwa.., dba.., dwc.., dbc..
 
     outs = pl.pallas_call(
-        functools.partial(_pair_bwd_kernel, activation, trailing, nl),
+        functools.partial(_pair_bwd_kernel, activation, trailing, nl, skip_input_grad),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(xa_p, xc_p, ga_p, gc_p, *wsa, *wsc, *hs_a, *hs_c)
-    dxa, dxc = outs[0][:n], outs[1][:n]
-    dwa = tuple(outs[2 : 2 + nl])
-    dba = tuple(outs[2 + nl : 2 + 2 * nl])
-    dwc = tuple(outs[2 + 2 * nl : 2 + 3 * nl])
-    dbc = tuple(outs[2 + 3 * nl : 2 + 4 * nl])
+    if skip_input_grad:
+        dxa, dxc = jnp.zeros_like(xa), jnp.zeros_like(xc)
+    else:
+        dxa, dxc = outs[0][:n], outs[1][:n]
+        outs = outs[2:]
+    dwa = tuple(outs[:nl])
+    dba = tuple(outs[nl : 2 * nl])
+    dwc = tuple(outs[2 * nl : 3 * nl])
+    dbc = tuple(outs[3 * nl : 4 * nl])
     return dxa, dxc, dwa, dba, dwc, dbc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
-def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, skip_input_grad):
     if use_pallas:
         out_a, out_c, _, _ = _pair_run_fwd(
             xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, interpret, save_hiddens=False
@@ -478,22 +506,26 @@ def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block
     )
 
 
-def _pair_op_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret):
+def _pair_op_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, skip_input_grad):
     if use_pallas:
         out_a, out_c, ha, hc = _pair_run_fwd(
             xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows_bwd or block_rows, interpret
         )
         return (out_a, out_c), (xa, xc, wsa, wsc, None, None, ha, hc, out_a, out_c)
-    outs = _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret)
+    outs = _pair_op(
+        xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret,
+        skip_input_grad,
+    )
     return outs, (xa, xc, wsa, wsc, bsa, bsc, None, None, None, None)
 
 
-def _pair_op_bwd(activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, residuals, gs):
+def _pair_op_bwd(activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, skip_input_grad, residuals, gs):
     xa, xc, wsa, wsc, bsa, bsc, ha, hc, outa, outc = residuals
     ga, gc = gs
     if use_pallas:
         dxa, dxc, dwa, dba, dwc, dbc = _pair_run_bwd(
-            xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows_bwd or block_rows, interpret
+            xa, xc, ga, gc, wsa, wsc, ha, hc, outa, outc, activation, trailing, block_rows_bwd or block_rows,
+            interpret, skip_input_grad=skip_input_grad,
         )
         return dxa.astype(xa.dtype), dxc.astype(xc.dtype), dwa, tuple(dba), dwc, tuple(dbc)
 
@@ -521,17 +553,24 @@ def fused_mlp_pair(
     trailing: bool = True,
     *,
     use_pallas: bool | None = None,
-    block_rows: int = 2048,
-    block_rows_bwd: int | None = 1024,
+    block_rows: int | None = None,
+    block_rows_bwd: int | None = None,
     interpret: bool = False,
+    skip_input_grad: bool = False,
 ):
     """Runs two same-shape linear+activation chains (actor+critic) as ONE
-    fused op — one kernel invocation per row tile for both networks."""
+    fused op — one kernel invocation per row tile for both networks.
+
+    ``skip_input_grad=True`` declares that the caller never uses the cotangent
+    w.r.t. ``xa``/``xc`` (they are rollout data, not parameters): the backward
+    kernel then skips the first layer's dX matmul and returns zeros for it."""
     activation = activation.lower() if isinstance(activation, str) else activation
     assert len(weights_a) == len(weights_c)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    block_rows = block_rows or _DEFAULT_BLOCK
+    block_rows_bwd = block_rows_bwd or _DEFAULT_BLOCK_BWD
     return _pair_op(
         xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
-        activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret,
+        activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret, bool(skip_input_grad),
     )

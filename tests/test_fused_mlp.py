@@ -150,3 +150,43 @@ def test_fused_mlp_reference_matches_mlp_module():
     np.testing.assert_allclose(
         np.asarray(out_ref, np.float32), np.asarray(out_module, np.float32), atol=1e-6
     )
+
+
+def test_fused_mlp_pair_skip_input_grad():
+    """With skip_input_grad=True the pair kernel must keep parameter gradients
+    identical while returning zero input cotangents (observations are data)."""
+    import jax
+
+    from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
+
+    dims = (24, 64, 32)
+    wsa, bsa = make_params(jax.random.key(30), dims)
+    wsc, bsc = make_params(jax.random.key(31), dims)
+    xa = jax.random.normal(jax.random.key(32), (96, dims[0]), jnp.float32)
+    xc = jax.random.normal(jax.random.key(33), (96, dims[0]), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(34), (96, dims[-1]), jnp.float32)
+
+    def loss(skip):
+        def fn(params, xa_, xc_):
+            (wa, ba), (wc, bc) = params
+            a, c = fused_mlp_pair(
+                xa_, xc_, wa, ba, wc, bc, "elu", True,
+                use_pallas=True, block_rows=32, interpret=True, skip_input_grad=skip,
+            )
+            return jnp.mean(jnp.square(a.astype(jnp.float32) - tgt)) + jnp.mean(
+                jnp.square(c.astype(jnp.float32) - 2.0 * tgt)
+            )
+
+        return fn
+
+    params = ((wsa, bsa), (wsc, bsc))
+    g_full = jax.grad(loss(False), argnums=(0, 1, 2))(params, xa, xc)
+    g_skip = jax.grad(loss(True), argnums=(0, 1, 2))(params, xa, xc)
+    # Parameter grads identical.
+    for a, b in zip(jax.tree.leaves(g_full[0]), jax.tree.leaves(g_skip[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Input cotangents are declared-zero.
+    assert not np.any(np.asarray(g_skip[1]))
+    assert not np.any(np.asarray(g_skip[2]))
+    # ...and the full path's input grads are real (sanity).
+    assert np.any(np.asarray(g_full[1]))
