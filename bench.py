@@ -20,11 +20,11 @@ NORTH_STAR_STEPS_PER_S = 10_000_000.0
 def main() -> None:
     import jax
 
-    # Optional PRNG implementation override (e.g. BENCH_PRNG=rbg): threefry is
-    # the jax default but costs real VPU time per rollout step on TPU; rbg uses
-    # the hardware RNG path.  Affects random streams, not statistics quality.
-    if os.environ.get("BENCH_PRNG"):
-        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+    # PRNG implementation (BENCH_PRNG=rbg|threefry2x32, default rbg): threefry
+    # is the jax default but costs real VPU time per rollout step on TPU; rbg
+    # uses the hardware RNG path (measured +0.3M steps/s).  Affects random
+    # streams, not statistics quality; learning-parity runs use threefry.
+    jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_PRNG", "rbg"))
 
     import cusrl_tpu
     from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
@@ -32,8 +32,8 @@ def main() -> None:
 
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     steps_per_update = int(os.environ.get("BENCH_STEPS", 24))
-    warmup_iters = int(os.environ.get("BENCH_WARMUP", 3))
-    timed_iters = int(os.environ.get("BENCH_ITERS", 20))
+    warmup_iters = int(os.environ.get("BENCH_WARMUP", 5))
+    timed_iters = int(os.environ.get("BENCH_ITERS", 40))
     # Iterations per jitted dispatch (ScanRolloutDriver.collect_and_update_many;
     # also a Trainer knob).  Amortizes the per-dispatch host overhead.
     chunk = max(1, int(os.environ.get("BENCH_CHUNK", 1)))

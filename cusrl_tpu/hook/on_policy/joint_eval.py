@@ -89,6 +89,14 @@ class JointPolicyValueEvaluation(Hook):
     """
 
     training_only: bool = static_field(default=True, kw_only=True)
+    # Optionally fold the fp32 distribution-mean and value heads into the pair
+    # kernel (fused_mlp_pair_heads).  Measured on v5e: SLOWER than the default
+    # (8.1M vs 9.0M env-steps/s at the bench config) — XLA already fuses the
+    # tiny head matmuls straight into the loss elementwise chain, so the
+    # kernel only adds a padded [rows, action_dim] materialization boundary.
+    # Kept as a validated option for architectures with wider heads.
+    fuse_heads: bool = static_field(default=False)
+    expose_latent: bool = static_field(default=False)
 
     def init(self, agent, key):
         reason = _fusable(agent.actor.backbone, agent.critic.backbone)
@@ -99,7 +107,29 @@ class JointPolicyValueEvaluation(Hook):
             )
         if getattr(agent.critic, "action_aware", False):
             raise ValueError("JointPolicyValueEvaluation does not support action-aware critics")
-        return self
+        hook = self
+        if hook.fuse_heads:
+            from cusrl_tpu.nn.module.distribution import NormalDist
+
+            dist = agent.actor.distribution
+            heads_ok = (
+                type(dist) is NormalDist
+                and dist.mean_head.bias is not None
+                and agent.critic.head.bias is not None
+            )
+            if not heads_ok:
+                hook = hook.replace(fuse_heads=False)
+        return hook
+
+    def post_init(self, agent):
+        if not self.fuse_heads:
+            return self
+        # Representation hooks probe the actor latent: keep exposing it (its
+        # cotangent flows back through the kernel).
+        needs_latent = any(
+            h.active and getattr(h, "latent_name", None) is not None for h in agent.state.hooks
+        )
+        return self.replace(expose_latent=bool(needs_latent))
 
     def objective(self, state, metadata, batch):
         actor = state.actor
@@ -108,14 +138,8 @@ class JointPolicyValueEvaluation(Hook):
         critic_input = get_first(batch, "state", "observation")
 
         if actor.backbone._can_fuse(observation):
-            # Both same-shape chains run in ONE Pallas kernel invocation per
-            # row tile (fused_mlp_pair) — one pipeline ramp instead of two,
-            # and the input tile is loaded once when actor and critic read the
-            # same observation.
-            from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
-
             ab, cb = actor.backbone, critic.backbone
-            actor_latent, critic_latent = fused_mlp_pair(
+            backbone_args = (
                 observation,
                 critic_input.astype(observation.dtype),
                 tuple(l.weight.T for l in ab.layers),
@@ -124,10 +148,42 @@ class JointPolicyValueEvaluation(Hook):
                 tuple(l.bias[None, :] for l in cb.layers),
                 ab.activation,
                 ab.ends_with_activation,
-                # Observations/states are rollout data, never differentiated:
-                # the backward kernel skips the first layer's dX entirely.
-                skip_input_grad=True,
             )
+            if self.fuse_heads:
+                # Backbones + fp32 heads in ONE kernel per row tile: XLA only
+                # sees [rows, A] means and [rows, 1] values.
+                from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair_heads
+
+                dist = actor.distribution
+                outs = fused_mlp_pair_heads(
+                    *backbone_args[:6],
+                    dist.mean_head.weight.T,
+                    dist.mean_head.bias[None, :],
+                    critic.head.weight.T,
+                    critic.head.bias[None, :],
+                    backbone_args[6],
+                    backbone_args[7],
+                    skip_input_grad=True,
+                    expose_latent=self.expose_latent,
+                )
+                mean, value = outs[0], outs[1]
+                # Mirrors NormalDist.__call__ (std is latent-independent; its
+                # gradient flows to std_param through this XLA expression).
+                std = dist.bijector(dist.std_param.astype(jnp.float32))
+                batch["curr_action_dist"] = {"mean": mean, "std": jnp.broadcast_to(std, mean.shape)}
+                batch["curr_value"] = value
+                if self.expose_latent:
+                    batch["actor_intermediate"] = {"backbone.output": outs[2]}
+                return self, batch, None, {}
+
+            # Both same-shape chains run in ONE Pallas kernel invocation per
+            # row tile (fused_mlp_pair) — one pipeline ramp instead of two,
+            # and the input tile is loaded once when actor and critic read the
+            # same observation.  Observations/states are rollout data, never
+            # differentiated: the backward kernel skips the first layer's dX.
+            from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
+
+            actor_latent, critic_latent = fused_mlp_pair(*backbone_args, skip_input_grad=True)
             batch["curr_action_dist"] = actor.distribution(actor_latent)
             batch["actor_intermediate"] = {"backbone.output": actor_latent}
             batch["curr_value"] = critic.head(critic_latent.astype(jnp.float32))

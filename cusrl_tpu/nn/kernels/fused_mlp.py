@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mlp", "fused_mlp_pair", "supports_fused_mlp"]
+__all__ = ["fused_mlp", "fused_mlp_pair", "fused_mlp_pair_heads", "supports_fused_mlp"]
 
 # Sweepable defaults (benchmarks/tpu_fused_mlp_check.py): forward row tile and
 # backward row tile.  The backward holds saved activations + fp32 dW/db
@@ -573,4 +573,357 @@ def fused_mlp_pair(
     return _pair_op(
         xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
         activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret, bool(skip_input_grad),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Head-fused paired variant: backbone chains PLUS the (fp32) distribution-mean
+# and value heads in the same kernel.  The [rows, latent] activations never
+# touch HBM in either direction — the XLA side only sees [rows, action_dim]
+# fp32 means and [rows, 1] fp32 values, exactly what the loss hooks consume.
+# fp32-island parity: heads compute as latent.astype(f32) @ W_f32 + b, matching
+# LinearFp32 / Value.head (nn/layer/linear.py compute_dtype=None).
+# ---------------------------------------------------------------------------
+
+
+def _heads_reference(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing, expose_latent):
+    la = _reference(xa, wsa, bsa, activation, trailing)
+    lc = _reference(xc, wsc, bsc, activation, trailing)
+    mean = la.astype(jnp.float32) @ wm + bm
+    value = lc.astype(jnp.float32) @ wv + bv
+    if expose_latent:
+        return mean, value, la
+    return mean, value
+
+
+def _pair_heads_fwd_kernel(activation, trailing, nl, save, xa_ref, xc_ref, *refs):
+    wa = refs[:nl]
+    ba = refs[nl : 2 * nl]
+    wc = refs[2 * nl : 3 * nl]
+    bc = refs[3 * nl : 4 * nl]
+    wm_ref, bm_ref, wv_ref, bv_ref = refs[4 * nl : 4 * nl + 4]
+    outs = refs[4 * nl + 4 :]
+    mean_ref, value_ref = outs[0], outs[1]
+    if save:
+        la_ref, lc_ref = outs[2], outs[3]
+        ha_refs = outs[4 : 4 + (nl - 1)]
+        hc_refs = outs[4 + (nl - 1) :]
+    else:
+        la_ref = lc_ref = None
+        ha_refs = hc_refs = ()
+
+    def chain(x_ref, ws, bs, h_refs):
+        h = x_ref[...].astype(jnp.bfloat16)
+        for i in range(nl):
+            z = jnp.dot(h, ws[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            z = (z + bs[i][...]).astype(jnp.bfloat16)
+            h = _act_kernel(activation, z) if (i < nl - 1 or trailing) else z
+            if save and i < nl - 1:
+                h_refs[i][...] = h
+        return h
+
+    la = chain(xa_ref, wa, ba, ha_refs)
+    lc = chain(xc_ref, wc, bc, hc_refs)
+    if save:
+        la_ref[...] = la
+        lc_ref[...] = lc
+    mean_ref[...] = (
+        jnp.dot(la.astype(jnp.float32), wm_ref[...], preferred_element_type=jnp.float32) + bm_ref[...]
+    )
+    value_ref[...] = (
+        jnp.dot(lc.astype(jnp.float32), wv_ref[...], preferred_element_type=jnp.float32) + bv_ref[...]
+    )
+
+
+def _pair_heads_bwd_kernel(
+    activation, trailing, nl, expose_latent, skip_input_grad, xa_ref, xc_ref, gm_ref, gv_ref, *refs
+):
+    if expose_latent:
+        gl_ref, refs = refs[0], refs[1:]
+    else:
+        gl_ref = None
+    wa = refs[:nl]
+    wc = refs[nl : 2 * nl]
+    wm_ref, wv_ref = refs[2 * nl], refs[2 * nl + 1]
+    ha = refs[2 * nl + 2 : 3 * nl + 2]  # h_1..h_{nl-1}, latent_a
+    hc = refs[3 * nl + 2 : 4 * nl + 2]
+    outs = refs[4 * nl + 2 :]
+    if skip_input_grad:
+        dxa_ref = dxc_ref = None
+    else:
+        dxa_ref, dxc_ref = outs[0], outs[1]
+        outs = outs[2:]
+    dwa = outs[:nl]
+    dba = outs[nl : 2 * nl]
+    dwc = outs[2 * nl : 3 * nl]
+    dbc = outs[3 * nl : 4 * nl]
+    dwm_ref, dbm_ref, dwv_ref, dbv_ref = outs[4 * nl : 4 * nl + 4]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (*dwa, *dba, *dwc, *dbc, dwm_ref, dbm_ref, dwv_ref, dbv_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    # Head backward (fp32 island), then the backbone gradient chains.
+    la = ha[nl - 1][...].astype(jnp.float32)
+    lc = hc[nl - 1][...].astype(jnp.float32)
+    dmean = gm_ref[...]
+    dvalue = gv_ref[...]
+    dwm_ref[...] += jax.lax.dot_general(la, dmean, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbm_ref[...] += jnp.sum(dmean, axis=0, keepdims=True)
+    da = jax.lax.dot_general(dmean, wm_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if gl_ref is not None:
+        da = da + gl_ref[...]
+    dwv_ref[...] += jax.lax.dot_general(lc, dvalue, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbv_ref[...] += jnp.sum(dvalue, axis=0, keepdims=True)
+    # dvalue has one column: the latent cotangent is an outer product, cheaper
+    # on the VPU than a K=1 matmul.
+    dc = dvalue * wv_ref[...].reshape(1, -1)
+
+    def chain_bwd(x_ref, d, ws, hs, dx_ref, dws, dbs):
+        for i in reversed(range(nl)):
+            if i < nl - 1 or trailing:
+                d = d * _dact_from_h(activation, hs[i][...].astype(jnp.float32))
+            d_bf = d.astype(jnp.bfloat16)
+            h_in = x_ref[...].astype(jnp.bfloat16) if i == 0 else hs[i - 1][...]
+            dws[i][...] += jax.lax.dot_general(
+                h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dbs[i][...] += jnp.sum(d, axis=0, keepdims=True)
+            if i == 0 and dx_ref is None:
+                break
+            d = jax.lax.dot_general(
+                d_bf, ws[i][...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if dx_ref is not None:
+            dx_ref[...] = d
+
+    chain_bwd(xa_ref, da, wa, ha, dxa_ref, dwa, dba)
+    chain_bwd(xc_ref, dc, wc, hc, dxc_ref, dwc, dbc)
+
+
+def _pair_heads_run_fwd(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing, block_rows, interpret, save
+):
+    n, nl = xa.shape[0], len(wsa)
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    xa_p, xc_p = _pad_rows(xa, n_pad), _pad_rows(xc, n_pad)
+    grid = (n_pad // tb,)
+    latent_dim = wsa[-1].shape[1]
+    a_dim, v_dim = wm.shape[1], wv.shape[1]
+
+    in_specs = [_row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb)]
+    in_specs += [_const_spec(w.shape) for w in wsa] + [_const_spec(b.shape) for b in bsa]
+    in_specs += [_const_spec(w.shape) for w in wsc] + [_const_spec(b.shape) for b in bsc]
+    in_specs += [_const_spec(wm.shape), _const_spec(bm.shape), _const_spec(wv.shape), _const_spec(bv.shape)]
+
+    out_specs = [_row_spec(a_dim, tb), _row_spec(v_dim, tb)]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_pad, a_dim), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, v_dim), jnp.float32),
+    ]
+    if save:
+        out_specs += [_row_spec(latent_dim, tb), _row_spec(latent_dim, tb)]
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_pad, latent_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_pad, latent_dim), jnp.bfloat16),
+        ]
+        for ws in (wsa, wsc):
+            for w in ws[:-1]:
+                out_specs.append(_row_spec(w.shape[1], tb))
+                out_shapes.append(jax.ShapeDtypeStruct((n_pad, w.shape[1]), jnp.bfloat16))
+
+    outs = pl.pallas_call(
+        functools.partial(_pair_heads_fwd_kernel, activation, trailing, nl, save),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xa_p, xc_p, *wsa, *bsa, *wsc, *bsc, wm, bm, wv, bv)
+    mean, value = outs[0][:n], outs[1][:n]
+    if not save:
+        return mean, value, None, None, (), ()
+    la, lc = outs[2], outs[3]
+    ha = tuple(outs[4 : 4 + nl - 1])
+    hc = tuple(outs[4 + nl - 1 :])
+    return mean, value, la, lc, ha, hc
+
+
+def _pair_heads_run_bwd(
+    xa, xc, gm, gv, gl, wsa, wsc, wm, wv, ha, hc, la, lc,
+    activation, trailing, block_rows, interpret, expose_latent, skip_input_grad,
+):
+    n, nl = xa.shape[0], len(wsa)
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    xa_p, xc_p = _pad_rows(xa, n_pad), _pad_rows(xc, n_pad)
+    gm_p = _pad_rows(gm.astype(jnp.float32), n_pad)
+    gv_p = _pad_rows(gv.astype(jnp.float32), n_pad)
+    hs_a = tuple(ha) + (la,)
+    hs_c = tuple(hc) + (lc,)
+    grid = (n_pad // tb,)
+
+    operands = [xa_p, xc_p, gm_p, gv_p]
+    in_specs = [
+        _row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb),
+        _row_spec(gm.shape[1], tb), _row_spec(gv.shape[1], tb),
+    ]
+    if expose_latent:
+        gl_p = _pad_rows(gl.astype(jnp.float32), n_pad)
+        operands.append(gl_p)
+        in_specs.append(_row_spec(gl.shape[1], tb))
+    operands += [*wsa, *wsc, wm, wv, *hs_a, *hs_c]
+    in_specs += [_const_spec(w.shape) for w in wsa] + [_const_spec(w.shape) for w in wsc]
+    in_specs += [_const_spec(wm.shape), _const_spec(wv.shape)]
+    in_specs += [_row_spec(h.shape[1], tb) for h in hs_a] + [_row_spec(h.shape[1], tb) for h in hs_c]
+
+    out_specs = []
+    out_shapes = []
+    if not skip_input_grad:
+        out_specs += [_row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb)]
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_pad, xa.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, xc.shape[1]), jnp.float32),
+        ]
+    for ws in (wsa, wsc):
+        for w in ws:
+            out_specs.append(_const_spec(w.shape))
+            out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        for w in ws:
+            out_specs.append(_const_spec((1, w.shape[1])))
+            out_shapes.append(jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32))
+    out_specs += [
+        _const_spec(wm.shape), _const_spec((1, wm.shape[1])),
+        _const_spec(wv.shape), _const_spec((1, wv.shape[1])),
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct(wm.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, wm.shape[1]), jnp.float32),
+        jax.ShapeDtypeStruct(wv.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, wv.shape[1]), jnp.float32),
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_pair_heads_bwd_kernel, activation, trailing, nl, expose_latent, skip_input_grad),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+    if skip_input_grad:
+        dxa, dxc = jnp.zeros_like(xa), jnp.zeros_like(xc)
+    else:
+        dxa, dxc = outs[0][:n], outs[1][:n]
+        outs = outs[2:]
+    dwa = tuple(outs[:nl])
+    dba = tuple(outs[nl : 2 * nl])
+    dwc = tuple(outs[2 * nl : 3 * nl])
+    dbc = tuple(outs[3 * nl : 4 * nl])
+    dwm, dbm, dwv, dbv = outs[4 * nl : 4 * nl + 4]
+    return dxa, dxc, dwa, dba, dwc, dbc, dwm, dbm, dwv, dbv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17))
+def _pair_heads_op(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv,
+    activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, expose_latent, skip_input_grad,
+):
+    if use_pallas:
+        mean, value, la, _, _, _ = _pair_heads_run_fwd(
+            xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing, block_rows, interpret,
+            save=bool(expose_latent),
+        )
+        return (mean, value, la) if expose_latent else (mean, value)
+    return _heads_reference(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing, expose_latent)
+
+
+def _pair_heads_op_fwd(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv,
+    activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, expose_latent, skip_input_grad,
+):
+    if use_pallas:
+        mean, value, la, lc, ha, hc = _pair_heads_run_fwd(
+            xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing,
+            block_rows_bwd or block_rows, interpret, save=True,
+        )
+        out = (mean, value, la[: xa.shape[0]]) if expose_latent else (mean, value)
+        return out, (xa, xc, wsa, wsc, wm, wv, ha, hc, la, lc)
+    out = _heads_reference(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing, expose_latent)
+    return out, (xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv)
+
+
+def _pair_heads_op_bwd(
+    activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, expose_latent, skip_input_grad,
+    residuals, gs,
+):
+    if use_pallas:
+        xa, xc, wsa, wsc, wm, wv, ha, hc, la, lc = residuals
+        if expose_latent:
+            gm, gv, gl = gs
+        else:
+            (gm, gv), gl = gs, None
+        dxa, dxc, dwa, dba, dwc, dbc, dwm, dbm, dwv, dbv = _pair_heads_run_bwd(
+            xa, xc, gm, gv, gl, wsa, wsc, wm, wv, ha, hc, la, lc,
+            activation, trailing, block_rows_bwd or block_rows, interpret, expose_latent, skip_input_grad,
+        )
+        return (
+            dxa.astype(xa.dtype), dxc.astype(xc.dtype), dwa, tuple(dba), dwc, tuple(dbc),
+            dwm, dbm, dwv, dbv,
+        )
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv = residuals
+
+    def f(xa_, xc_, wsa_, bsa_, wsc_, bsc_, wm_, bm_, wv_, bv_):
+        return _heads_reference(xa_, xc_, wsa_, bsa_, wsc_, bsc_, wm_, bm_, wv_, bv_, activation, trailing, expose_latent)
+
+    _, vjp = jax.vjp(f, xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv)
+    return vjp(gs)
+
+
+_pair_heads_op.defvjp(_pair_heads_op_fwd, _pair_heads_op_bwd)
+
+
+def fused_mlp_pair_heads(
+    xa,
+    xc,
+    weights_a,
+    biases_a,
+    weights_c,
+    biases_c,
+    mean_weight,
+    mean_bias,
+    value_weight,
+    value_bias,
+    activation: str = "elu",
+    trailing: bool = True,
+    *,
+    use_pallas: bool | None = None,
+    block_rows: int | None = None,
+    block_rows_bwd: int | None = None,
+    interpret: bool = False,
+    expose_latent: bool = False,
+    skip_input_grad: bool = True,
+):
+    """Backbone pair + fp32 heads in one kernel per row tile.
+
+    Returns ``(mean [N, A] f32, value [N, Dv] f32)``; with
+    ``expose_latent=True`` also returns the actor latent (bf16) so
+    representation-learning hooks can attach probes — its cotangent flows back
+    through the kernel.  ``mean_weight``/``value_weight`` take ``[in, out]``
+    layout (pass ``head.weight.T``); biases are ``[1, out]`` fp32.
+    """
+    activation = activation.lower() if isinstance(activation, str) else activation
+    assert len(weights_a) == len(weights_c)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    block_rows = block_rows or _DEFAULT_BLOCK
+    block_rows_bwd = block_rows_bwd or _DEFAULT_BLOCK_BWD
+    return _pair_heads_op(
+        xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
+        mean_weight, mean_bias, value_weight, value_bias,
+        activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret,
+        bool(expose_latent), bool(skip_input_grad),
     )

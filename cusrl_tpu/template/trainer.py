@@ -19,6 +19,7 @@ equivalent of the reference's 100-episode EnvironmentStats buffers.
 from __future__ import annotations
 
 import json
+import time
 import os
 import subprocess
 from collections import deque
@@ -319,15 +320,17 @@ class Trainer:
             logical = self.agent.iteration
             boundary = self.checkpoint_interval - (logical % self.checkpoint_interval)
             chunk = max(1, min(self.iterations_per_dispatch, self.num_iterations - logical, boundary))
-            with self.timer.record("agent"):
-                aggregates, stacked, keys = self._scan_driver.collect_and_update_many(
-                    self.agent.num_steps_per_update, chunk
-                )
-                values = np.asarray(
-                    jnp.concatenate([jnp.asarray(aggregates, jnp.float32), stacked], axis=1)
-                )
+            start = time.perf_counter()
+            aggregates, stacked, keys = self._scan_driver.collect_and_update_many(
+                self.agent.num_steps_per_update, chunk
+            )
+            values = np.asarray(jnp.concatenate([jnp.asarray(aggregates, jnp.float32), stacked], axis=1))
+            # Amortize the chunk's wall time over its iterations so Perf/*
+            # metrics stay per-iteration meaningful.
+            self._chunk_iter_time = (time.perf_counter() - start) / chunk
             self._pending_rows = [values[i] for i in range(values.shape[0])]
             self._pending_keys = keys
+        self.timer.add("agent", self._chunk_iter_time)
         row = self._pending_rows.pop(0)
         count, return_sum, length_sum = (float(x) for x in row[:3])
         steps = self.agent.num_steps_per_update * self.environment.num_instances * distributed.world_size()

@@ -29,6 +29,9 @@ class TrainingExperimentFactory:
     num_iterations: int = 1000
     checkpoint_interval: int = 50
     trainer_hooks: tuple = ()
+    # Fused multi-iteration dispatch for JAX-native envs (see Trainer):
+    # overridable from the CLI as --trainer.iterations-per-dispatch N.
+    iterations_per_dispatch: int = 1
 
     def __call__(
         self,
@@ -50,6 +53,7 @@ class TrainingExperimentFactory:
             hooks=self.trainer_hooks,
             metadata=metadata,
             verbose=verbose,
+            iterations_per_dispatch=self.iterations_per_dispatch,
         )
 
 

@@ -190,3 +190,63 @@ def test_fused_mlp_pair_skip_input_grad():
     assert not np.any(np.asarray(g_skip[2]))
     # ...and the full path's input grads are real (sanity).
     assert np.any(np.asarray(g_full[1]))
+
+
+def _head_params(key, latent, a_dim, v_dim):
+    import jax
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    wm = jax.random.normal(k1, (latent, a_dim), jnp.float32) * 0.2
+    bm = jax.random.normal(k2, (1, a_dim), jnp.float32) * 0.1
+    wv = jax.random.normal(k3, (latent, v_dim), jnp.float32) * 0.2
+    bv = jax.random.normal(k4, (1, v_dim), jnp.float32) * 0.1
+    return wm, bm, wv, bv
+
+
+def test_fused_mlp_pair_heads_matches_reference():
+    """Head-fused kernel (backbones + fp32 mean/value heads in one pallas
+    program) must match the XLA reference in outputs and every parameter
+    gradient, with and without the exposed-latent output."""
+    import jax
+
+    from cusrl_tpu.nn.kernels.fused_mlp import _heads_reference, fused_mlp_pair_heads
+
+    dims = (24, 64, 32)
+    wsa, bsa = make_params(jax.random.key(40), dims)
+    wsc, bsc = make_params(jax.random.key(41), dims)
+    wm, bm, wv, bv = _head_params(jax.random.key(42), dims[-1], 6, 1)
+    xa = jax.random.normal(jax.random.key(43), (96, dims[0]), jnp.float32)
+    xc = jax.random.normal(jax.random.key(44), (96, dims[0]), jnp.float32)
+    adv = jax.random.normal(jax.random.key(45), (96, 6), jnp.float32)
+
+    for expose in (False, True):
+        out = fused_mlp_pair_heads(
+            xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, "elu", True,
+            use_pallas=True, block_rows=32, interpret=True, expose_latent=expose,
+        )
+        ref = _heads_reference(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, "elu", True, expose)
+        for got, want in zip(out, ref):
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2, rtol=2e-2
+            )
+
+        def loss(params, use_kernel):
+            (wa_, ba_), (wc_, bc_), (wm_, bm_, wv_, bv_) = params
+            if use_kernel:
+                res = fused_mlp_pair_heads(
+                    xa, xc, wa_, ba_, wc_, bc_, wm_, bm_, wv_, bv_, "elu", True,
+                    use_pallas=True, block_rows=32, interpret=True, expose_latent=expose,
+                )
+            else:
+                res = _heads_reference(xa, xc, wa_, ba_, wc_, bc_, wm_, bm_, wv_, bv_, "elu", True, expose)
+            mean, value = res[0], res[1]
+            total = jnp.mean(mean * adv) + jnp.mean(jnp.square(value - 1.0))
+            if expose:
+                total = total + jnp.mean(res[2].astype(jnp.float32) ** 2)
+            return total
+
+        params = ((wsa, bsa), (wsc, bsc), (wm, bm, wv, bv))
+        g_kernel = jax.grad(lambda p: loss(p, True))(params)
+        g_ref = jax.grad(lambda p: loss(p, False))(params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_kernel)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3, rtol=3e-2)

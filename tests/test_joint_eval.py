@@ -167,3 +167,90 @@ def test_rejects_mismatched_shapes():
             actor_hidden_dims=(32, 32),
             critic_hidden_dims=(64, 32),
         )
+
+
+def test_head_fused_glue_matches_separate_passes(monkeypatch):
+    """The head-fused branch (kernel computes mean/value directly) must produce
+    the same batch entries and parameter gradients as the separate passes.  On
+    CPU the fused ops lower to their XLA reference, so this validates the glue:
+    std construction, batch keys, and gradient flow to heads + std_param."""
+    from cusrl_tpu.nn.module.mlp import Mlp
+
+    _, agent = make_agent(fuse_actor_critic_evaluation=True)
+    state = agent.state
+    index, hook = find_hook(state.hooks, "joint_policy_value_evaluation")
+    hook = hook.replace(fuse_heads=True)  # off by default (see joint_eval.py)
+    assert not hook.expose_latent
+
+    monkeypatch.setattr(Mlp, "_can_fuse", lambda self, x: True)
+    observation = jax.random.normal(jax.random.PRNGKey(5), (64, 16), jnp.float32)
+    adv = jax.random.normal(jax.random.PRNGKey(6), (64, 4), jnp.float32)
+
+    def loss_via(hook_obj, st):
+        batch = {"observation": observation}
+        _, batch, _, _ = hook_obj.objective(st, {}, batch)
+        dist = batch["curr_action_dist"]
+        return (
+            jnp.mean(dist["mean"] * adv)
+            + jnp.mean(dist["std"])
+            + jnp.mean(jnp.square(batch["curr_value"] - 1.0))
+        )
+
+    def ref_loss(st):
+        dist, _, _ = st.actor(observation)
+        value, _, _ = st.critic(observation)
+        return jnp.mean(dist["mean"] * adv) + jnp.mean(dist["std"]) + jnp.mean(jnp.square(value - 1.0))
+
+    val_fused = loss_via(hook, state)
+    val_ref = ref_loss(state)
+    np.testing.assert_allclose(np.asarray(val_fused), np.asarray(val_ref), rtol=2e-5, atol=2e-5)
+
+    def grad_of(fn):
+        def wrapped(params):
+            st = state.replace(actor=params[0], critic=params[1])
+            return fn(st)
+
+        return jax.grad(wrapped)((state.actor, state.critic))
+
+    g_fused = grad_of(lambda st: loss_via(hook, st))
+    g_ref = grad_of(ref_loss)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)
+
+
+def test_head_fused_exposes_latent_for_representation_hooks():
+    """With a representation hook registered, init flips expose_latent and the
+    fused path publishes actor_intermediate."""
+    from cusrl_tpu.hook.auxiliary.representation import ReturnPrediction
+    from cusrl_tpu.nn.module.mlp import Mlp
+
+    cusrl_tpu.set_global_seed(2)
+    env = VelocityLocomotionEnv(num_instances=16, observation_dim=16, action_dim=4, seed=1)
+    factory = cusrl_tpu.PpoAgentFactory(
+        num_steps_per_update=8,
+        actor_hidden_dims=(32, 32),
+        critic_hidden_dims=(32, 32),
+        sampler_epochs=1,
+        sampler_mini_batches=2,
+        fuse_actor_critic_evaluation=True,
+    ).to_underlying()
+    factory.register_hook(ReturnPrediction(), after="joint_policy_value_evaluation")
+    agent = factory(env.spec)
+    _, hook = find_hook(agent.state.hooks, "joint_policy_value_evaluation")
+    hook = hook.replace(fuse_heads=True)
+    hook = hook.post_init(agent)
+    assert hook.expose_latent
+
+    import unittest.mock as mock
+
+    with mock.patch.object(Mlp, "_can_fuse", lambda self, x: True):
+        observation = jax.random.normal(jax.random.PRNGKey(7), (32, 16), jnp.float32)
+        batch = {"observation": observation}
+        _, batch, _, _ = hook.objective(agent.state, {}, batch)
+    assert "backbone.output" in batch["actor_intermediate"]
+    ref_aux = agent.state.actor(observation)[2]
+    np.testing.assert_allclose(
+        np.asarray(batch["actor_intermediate"]["backbone.output"], np.float32),
+        np.asarray(ref_aux["backbone.output"], np.float32),
+        atol=1e-5,
+    )
