@@ -203,7 +203,10 @@ def _run_bwd(x, g, weights, hiddens, out, activation, trailing, block_rows, inte
     tb = min(block_rows, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tb) * tb
     xp = _pad_rows(x, n_pad)
-    gp = _pad_rows(g.astype(jnp.float32), n_pad)
+    # Keep the cotangent's native dtype (often bf16 — the primal out is bf16):
+    # upcasting host-side materializes a full [rows, width] fp32 copy that the
+    # kernel would only re-read; the kernel upcasts per tile in-register.
+    gp = _pad_rows(g, n_pad)
     out_p = _pad_rows(out, n_pad)
     grid = (n_pad // tb,)
     hs = tuple(hiddens) + (out_p,)  # h_1..h_n, all padded to n_pad
@@ -443,8 +446,9 @@ def _pair_run_bwd(
     tb = min(block_rows, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tb) * tb
     xa_p, xc_p = _pad_rows(xa, n_pad), _pad_rows(xc, n_pad)
-    ga_p = _pad_rows(ga.astype(jnp.float32), n_pad)
-    gc_p = _pad_rows(gc.astype(jnp.float32), n_pad)
+    # Native-dtype cotangents (see _run_bwd): the kernel upcasts per tile.
+    ga_p = _pad_rows(ga, n_pad)
+    gc_p = _pad_rows(gc, n_pad)
     hs_a = tuple(ha) + (_pad_rows(outa, n_pad),)
     hs_c = tuple(hc) + (_pad_rows(outc, n_pad),)
     grid = (n_pad // tb,)
