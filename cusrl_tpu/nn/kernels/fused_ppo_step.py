@@ -1,0 +1,432 @@
+"""Single-invocation fused PPO train step: backbones + heads + loss + backward
+in ONE Pallas kernel per minibatch.
+
+The saved-activation pair kernel (fused_mlp.py) still pays for: the hidden
+activations' HBM round trip between its forward and backward invocations, the
+latent/cotangent round trips to the XLA loss ops, and the XLA head/loss tail
+itself.  This kernel runs, per row tile, entirely in VMEM/registers:
+
+    actor chain -> mean head (fp32) -> logp/ratio/clipped surrogate
+    critic chain -> value head (fp32) -> (clipped) value regression
+    analytic per-row loss gradients -> head + backbone gradient chains
+    dW/db/dstd accumulated in fp32 across the sequential grid
+
+Gradient integration preserves ``jax.value_and_grad`` over the hook composite:
+the custom_vjp forward stores the parameter gradients of the COMBINED loss
+(surrogate*w_s + value*w_v, weights passed as traced operands) as residuals;
+the backward simply scales them by the loss cotangent — exact because
+gradients are linear in the cotangent.  Loss math mirrors
+hook/on_policy/{common,ppo,value}.py; the fp32 islands (mean head, value head,
+logp) are preserved in-kernel.  Entropy for a state-independent-std Gaussian
+depends only on ``std`` and stays in XLA (hook/on_policy/fused_update.py).
+
+Reference loss math: cusrl/hook/on_policy/ppo.py:10-85, value.py:85-145,
+common.py:12-49.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cusrl_tpu.nn.kernels.fused_mlp import (
+    _act_kernel,
+    _dact_from_h,
+    _pad_rows,
+    _reference,
+)
+
+__all__ = ["fused_ppo_step", "ppo_step_reference"]
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def _row_spec(dim, tb):
+    return pl.BlockSpec((tb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference (CPU fallback + correctness oracle).  Differentiable by
+# ordinary autodiff; numerics identical to the standard hook trio.
+# ---------------------------------------------------------------------------
+
+
+def ppo_step_reference(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+    action, old_logp, advantage, old_value, returns,
+    clip_ratio, w_surr, w_value, activation, trailing, loss_clip,
+):
+    la = _reference(xa, wsa, bsa, activation, trailing)
+    lc = _reference(xc, wsc, bsc, activation, trailing)
+    mean = la.astype(jnp.float32) @ wm + bm
+    vhat = lc.astype(jnp.float32) @ wv + bv
+
+    std = std.astype(jnp.float32)
+    z = (action.astype(jnp.float32) - mean) / std
+    logp = jnp.sum(-0.5 * jnp.square(z) - jnp.log(std) - _LOG_SQRT_2PI, axis=-1, keepdims=True)
+    dlt = logp - old_logp.astype(jnp.float32)
+    ratio = jnp.exp(dlt)
+    adv = advantage.astype(jnp.float32)
+    clipped = jnp.clip(ratio, 1.0 - clip_ratio, 1.0 + clip_ratio)
+    surrogate = -jnp.minimum(adv * ratio, adv * clipped).mean()
+
+    ret = returns.astype(jnp.float32)
+    if loss_clip is None:
+        value_loss = jnp.square(vhat - ret).mean()
+    else:
+        ov = old_value.astype(jnp.float32)
+        clipped_v = ov + jnp.clip(vhat - ov, -loss_clip, loss_clip)
+        value_loss = jnp.maximum(jnp.square(vhat - ret), jnp.square(clipped_v - ret)).mean()
+
+    loss_core = w_surr * surrogate + w_value * value_loss
+    metrics = {
+        "surrogate_loss": jax.lax.stop_gradient(w_surr * surrogate),
+        "value_loss": jax.lax.stop_gradient(w_value * value_loss),
+        "ratio": jax.lax.stop_gradient(jnp.abs(dlt).mean()),
+        "value": jax.lax.stop_gradient(vhat.sum(-1).mean()),
+    }
+    return loss_core, metrics
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _ppo_step_kernel(
+    activation, trailing, nl, loss_clip, inv_n, inv_nv, use_old_value,
+    xa_ref, xc_ref, act_ref, olp_ref, adv_ref, ov_ref, ret_ref, *refs,
+):
+    wa = refs[:nl]
+    ba = refs[nl : 2 * nl]
+    wc = refs[2 * nl : 3 * nl]
+    bc = refs[3 * nl : 4 * nl]
+    wm_ref, bm_ref, wv_ref, bv_ref, std_ref, scal_ref = refs[4 * nl : 4 * nl + 6]
+    outs = refs[4 * nl + 6 :]
+    dwa = outs[:nl]
+    dba = outs[nl : 2 * nl]
+    dwc = outs[2 * nl : 3 * nl]
+    dbc = outs[3 * nl : 4 * nl]
+    (dwm_ref, dbm_ref, dwv_ref, dbv_ref, dstd_ref,
+     surr_ref, vloss_ref, absd_ref, vsum_ref) = outs[4 * nl : 4 * nl + 9]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (*dwa, *dba, *dwc, *dbc, dwm_ref, dbm_ref, dwv_ref, dbv_ref, dstd_ref,
+                    surr_ref, vloss_ref, absd_ref, vsum_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    # ---- forward chains (activations stay in registers) --------------------
+    def chain_fwd(x_ref, ws, bs):
+        hs = []
+        h = x_ref[...].astype(jnp.bfloat16)
+        for i in range(nl):
+            z = jnp.dot(h, ws[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            z = (z + bs[i][...]).astype(jnp.bfloat16)
+            h = _act_kernel(activation, z) if (i < nl - 1 or trailing) else z
+            hs.append(h)
+        return hs
+
+    hs_a = chain_fwd(xa_ref, wa, ba)
+    hs_c = chain_fwd(xc_ref, wc, bc)
+    laf = hs_a[-1].astype(jnp.float32)
+    lcf = hs_c[-1].astype(jnp.float32)
+
+    mean = jnp.dot(laf, wm_ref[...], preferred_element_type=jnp.float32) + bm_ref[...]
+    vhat = jnp.dot(lcf, wv_ref[...], preferred_element_type=jnp.float32) + bv_ref[...]
+
+    std = std_ref[...]  # [1, A] fp32
+    clip_ratio = scal_ref[0, 0]
+    w_surr = scal_ref[0, 1]
+    w_value = scal_ref[0, 2]
+
+    # ---- loss (fp32 island) ------------------------------------------------
+    z = (act_ref[...] - mean) / std
+    log_std = jnp.log(std)
+    logp = jnp.sum(-0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI, axis=1, keepdims=True)
+    dlt = logp - olp_ref[...]
+    ratio = jnp.exp(dlt)
+    adv = adv_ref[...]
+    lo, hi = 1.0 - clip_ratio, 1.0 + clip_ratio
+    clipped = jnp.clip(ratio, lo, hi)
+    t1 = adv * ratio
+    t2 = adv * clipped
+    surr_row = jnp.minimum(t1, t2)
+
+    ret = ret_ref[...]
+    if use_old_value:
+        ov = ov_ref[...]
+        delta = vhat - ov
+        clipped_v = ov + jnp.clip(delta, -loss_clip, loss_clip)
+        u = vhat - ret
+        w = clipped_v - ret
+        u2, w2 = jnp.square(u), jnp.square(w)
+        vloss_el = jnp.maximum(u2, w2)
+    else:
+        u = vhat - ret
+        vloss_el = jnp.square(u)
+
+    surr_ref[0, 0] += jnp.sum(surr_row)
+    vloss_ref[0, 0] += jnp.sum(vloss_el)
+    absd_ref[0, 0] += jnp.sum(jnp.abs(dlt))
+    vsum_ref[0, 0] += jnp.sum(vhat)
+
+    # ---- analytic backward of loss_core = w_surr*(-mean surr) + w_value*mean vloss
+    # surrogate: dL/d surr_row = -w_surr * inv_n; min picks t1 iff t1 <= t2
+    # (matches jnp.minimum's tie convention), clip passes gradient inside
+    # (lo <= r <= hi, matching jnp.clip's boundary convention).
+    g_row = -w_surr * inv_n
+    pick_t1 = t1 <= t2
+    inside = jnp.logical_and(ratio >= lo, ratio <= hi).astype(jnp.float32)
+    dsurr_dr = jnp.where(pick_t1, adv, adv * inside)
+    dlogp = (g_row * dsurr_dr) * ratio  # [tb, 1]
+    dmean = dlogp * (z / std)  # [tb, A]
+    dstd_ref[...] += jnp.sum(dlogp * ((jnp.square(z) - 1.0) / std), axis=0, keepdims=True)
+
+    if use_old_value:
+        # d max(u^2, w^2): argmax branch; w-branch passes through the inner
+        # clip only where |delta| < loss_clip (outside, clipped_v is constant).
+        pick_u = u2 >= w2
+        w_inside = (jnp.abs(delta) <= loss_clip).astype(jnp.float32)
+        dvhat = (w_value * inv_nv) * jnp.where(pick_u, 2.0 * u, 2.0 * w * w_inside)
+    else:
+        dvhat = (w_value * inv_nv) * (2.0 * u)
+
+    dwm_ref[...] += jax.lax.dot_general(laf, dmean, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbm_ref[...] += jnp.sum(dmean, axis=0, keepdims=True)
+    da = jax.lax.dot_general(dmean, wm_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dwv_ref[...] += jax.lax.dot_general(lcf, dvhat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbv_ref[...] += jnp.sum(dvhat, axis=0, keepdims=True)
+    dc = jax.lax.dot_general(dvhat, wv_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def chain_bwd(x_ref, d, ws, hs, dws, dbs):
+        for i in reversed(range(nl)):
+            if i < nl - 1 or trailing:
+                d = d * _dact_from_h(activation, hs[i].astype(jnp.float32))
+            d_bf = d.astype(jnp.bfloat16)
+            h_in = x_ref[...].astype(jnp.bfloat16) if i == 0 else hs[i - 1]
+            dws[i][...] += jax.lax.dot_general(
+                h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dbs[i][...] += jnp.sum(d, axis=0, keepdims=True)
+            if i == 0:
+                break  # inputs are rollout data: no dX
+            d = jax.lax.dot_general(
+                d_bf, ws[i][...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    chain_bwd(xa_ref, da, wa, hs_a, dwa, dba)
+    chain_bwd(xc_ref, dc, wc, hs_c, dwc, dbc)
+
+
+def _run_ppo_step(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+    action, old_logp, advantage, old_value, returns, scalars,
+    activation, trailing, loss_clip, block_rows, interpret,
+):
+    n, nl = xa.shape[0], len(wsa)
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    grid = (n_pad // tb,)
+    a_dim, v_dim = wm.shape[1], wv.shape[1]
+    use_old_value = loss_clip is not None
+    inv_n = 1.0 / n
+    inv_nv = 1.0 / (n * v_dim)
+
+    # Padded rows would contribute garbage to the value-loss accumulators
+    # ((vhat-0)^2 is not zero), so the row tile must divide the row count
+    # exactly: pick the largest 8-aligned divisor <= block_rows.
+    if n_pad != n:
+        tb = 0
+        for cand in range(min(block_rows, n), 7, -8):
+            if n % cand == 0 and cand % 8 == 0:
+                tb = cand
+                break
+        if tb == 0:
+            raise ValueError(f"fused_ppo_step: no 8-aligned row tile divides n={n}")
+        n_pad = n
+        grid = (n // tb,)
+
+    operands = [xa, xc, action, old_logp, advantage,
+                old_value if use_old_value else jnp.zeros((n, v_dim), jnp.float32), returns]
+    in_specs = [
+        _row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb),
+        _row_spec(a_dim, tb), _row_spec(1, tb), _row_spec(1, tb),
+        _row_spec(v_dim, tb), _row_spec(v_dim, tb),
+    ]
+    operands += [*wsa, *bsa, *wsc, *bsc, wm, bm, wv, bv, std, scalars]
+    in_specs += [_const_spec(w.shape) for w in wsa] + [_const_spec(b.shape) for b in bsa]
+    in_specs += [_const_spec(w.shape) for w in wsc] + [_const_spec(b.shape) for b in bsc]
+    in_specs += [
+        _const_spec(wm.shape), _const_spec(bm.shape), _const_spec(wv.shape), _const_spec(bv.shape),
+        _const_spec(std.shape), _const_spec(scalars.shape),
+    ]
+
+    out_specs = []
+    out_shapes = []
+    for ws in (wsa, wsc):
+        for w in ws:
+            out_specs.append(_const_spec(w.shape))
+            out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        for w in ws:
+            out_specs.append(_const_spec((1, w.shape[1])))
+            out_shapes.append(jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32))
+    # dwa.., dba.., dwc.., dbc.. then heads/std/scalar sums:
+    dw_specs_a = out_specs[: 2 * nl]
+    dw_shapes_a = out_shapes[: 2 * nl]
+    dw_specs_c = out_specs[2 * nl :]
+    dw_shapes_c = out_shapes[2 * nl :]
+    out_specs = dw_specs_a + dw_specs_c
+    out_shapes = dw_shapes_a + dw_shapes_c
+    for shape in (wm.shape, (1, a_dim), wv.shape, (1, v_dim), (1, a_dim), (1, 1), (1, 1), (1, 1), (1, 1)):
+        out_specs.append(_const_spec(shape))
+        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _ppo_step_kernel, activation, trailing, nl,
+            0.0 if loss_clip is None else float(loss_clip), inv_n, inv_nv, use_old_value,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+    dwa = tuple(outs[:nl])
+    dba = tuple(outs[nl : 2 * nl])
+    dwc = tuple(outs[2 * nl : 3 * nl])
+    dbc = tuple(outs[3 * nl : 4 * nl])
+    dwm, dbm, dwv, dbv, dstd, surr_sum, vloss_sum, absd_sum, vsum = outs[4 * nl :]
+    return (dwa, dba, dwc, dbc, dwm, dbm, dwv, dbv, dstd), (
+        surr_sum[0, 0], vloss_sum[0, 0], absd_sum[0, 0], vsum[0, 0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: forward stores the combined-loss gradients as residuals;
+# backward scales them by the loss cotangent (gradients are linear in it).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20, 21))
+def _ppo_step_op(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+    action, old_logp, advantage, old_value, returns, scalars,
+    activation, trailing, loss_clip, block_rows, interpret,
+):
+    out, _ = _ppo_step_fwd(
+        xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+        action, old_logp, advantage, old_value, returns, scalars,
+        activation, trailing, loss_clip, block_rows, interpret,
+    )
+    return out
+
+
+def _ppo_step_fwd(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+    action, old_logp, advantage, old_value, returns, scalars,
+    activation, trailing, loss_clip, block_rows, interpret,
+):
+    n = xa.shape[0]
+    v_dim = wv.shape[1]
+    grads, (surr_sum, vloss_sum, absd_sum, vsum) = _run_ppo_step(
+        xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+        action, old_logp, advantage, old_value, returns, scalars,
+        activation, trailing, loss_clip, block_rows, interpret,
+    )
+    w_surr, w_value = scalars[0, 1], scalars[0, 2]
+    surrogate = -(surr_sum / n)
+    value_loss = vloss_sum / (n * v_dim)
+    loss_core = w_surr * surrogate + w_value * value_loss
+    metrics = (
+        w_surr * surrogate,  # surrogate_loss
+        w_value * value_loss,  # value_loss
+        absd_sum / n,  # ratio
+        vsum / n,  # value
+    )
+    data_avals = (xa, xc, action, old_logp, advantage, old_value, returns, scalars)
+    return (loss_core, metrics), (grads, data_avals)
+
+
+def _ppo_step_bwd(activation, trailing, loss_clip, block_rows, interpret, residuals, gs):
+    grads, data_avals = residuals
+    dwa, dba, dwc, dbc, dwm, dbm, dwv, dbv, dstd = grads
+    g = gs[0]  # cotangent of loss_core; metric cotangents are zeros by contract
+    scale = lambda t: jax.tree.map(lambda x: x * g, t)
+    # Rollout-data cotangents are structurally zero (and DCE'd by XLA).
+    z_xa, z_xc, z_act, z_olp, z_adv, z_ov, z_ret, z_scal = (jnp.zeros_like(a) for a in data_avals)
+    return (
+        z_xa, z_xc,
+        scale(tuple(dwa)), scale(tuple(dba)), scale(tuple(dwc)), scale(tuple(dbc)),
+        scale(dwm), scale(dbm), scale(dwv), scale(dbv), scale(dstd),
+        z_act, z_olp, z_adv, z_ov, z_ret, z_scal,
+    )
+
+
+_ppo_step_op.defvjp(_ppo_step_fwd, _ppo_step_bwd)
+
+
+def fused_ppo_step(
+    xa, xc, weights_a, biases_a, weights_c, biases_c,
+    mean_weight, mean_bias, value_weight, value_bias, std,
+    action, old_logp, advantage, old_value, returns,
+    clip_ratio, w_surr, w_value,
+    activation: str = "elu",
+    trailing: bool = True,
+    *,
+    loss_clip: float | None = None,
+    use_pallas: bool | None = None,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Fused PPO+value train step.  Returns ``(loss_core, (surrogate_loss,
+    value_loss, ratio, value))`` where ``loss_core = w_surr*surrogate +
+    w_value*value_loss`` carries ALL parameter gradients (backbones, heads,
+    ``std``) and the metric outputs are gradient-free.
+
+    Weight layouts follow fused_mlp_pair_heads: backbone ``[in, out]`` +
+    ``[1, out]`` biases, heads ``head.weight.T`` / ``bias[None, :]``; ``std``
+    is the fp32 ``[1, A]`` state-independent deviation (its cotangent flows —
+    chain it to ``std_param`` through the bijector in XLA).
+    """
+    activation = activation.lower() if isinstance(activation, str) else activation
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    old_logp = old_logp.reshape(-1, 1)
+    advantage = advantage.reshape(-1, 1)
+    if not use_pallas:
+        loss_core, metrics = ppo_step_reference(
+            xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
+            mean_weight, mean_bias, value_weight, value_bias, std,
+            action, old_logp, advantage, old_value, returns,
+            clip_ratio, w_surr, w_value, activation, trailing, loss_clip,
+        )
+        return loss_core, (
+            metrics["surrogate_loss"], metrics["value_loss"], metrics["ratio"], metrics["value"],
+        )
+    scalars = jnp.stack(
+        [jnp.asarray(clip_ratio, jnp.float32), jnp.asarray(w_surr, jnp.float32),
+         jnp.asarray(w_value, jnp.float32), jnp.zeros((), jnp.float32)]
+    ).reshape(1, 4)
+    loss_core, metrics = _ppo_step_op(
+        xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
+        mean_weight, mean_bias, value_weight, value_bias,
+        std.reshape(1, -1).astype(jnp.float32),
+        action.astype(jnp.float32), old_logp.astype(jnp.float32), advantage.astype(jnp.float32),
+        (old_value if old_value is not None else returns).astype(jnp.float32),
+        returns.astype(jnp.float32), scalars,
+        activation, trailing, loss_clip, block_rows, interpret,
+    )
+    metrics = jax.tree.map(jax.lax.stop_gradient, metrics)
+    return loss_core, metrics
