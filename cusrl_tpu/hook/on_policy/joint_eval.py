@@ -138,6 +138,13 @@ class JointPolicyValueEvaluation(Hook):
         critic_input = get_first(batch, "state", "observation")
 
         if actor.backbone._can_fuse(observation):
+            # The Pallas pair kernel operates on 2-D [rows, features]; flatten
+            # any leading batch dims (e.g. temporal [T, Ns, D] minibatches) and
+            # restore them on the outputs.
+            lead = observation.shape[:-1]
+            restore = (lambda a: a.reshape(lead + a.shape[-1:])) if len(lead) != 1 else (lambda a: a)
+            observation = observation.reshape(-1, observation.shape[-1])
+            critic_input = critic_input.reshape(-1, critic_input.shape[-1])
             ab, cb = actor.backbone, critic.backbone
             backbone_args = (
                 observation,
@@ -166,14 +173,14 @@ class JointPolicyValueEvaluation(Hook):
                     skip_input_grad=True,
                     expose_latent=self.expose_latent,
                 )
-                mean, value = outs[0], outs[1]
+                mean, value = restore(outs[0]), restore(outs[1])
                 # Mirrors NormalDist.__call__ (std is latent-independent; its
                 # gradient flows to std_param through this XLA expression).
                 std = dist.bijector(dist.std_param.astype(jnp.float32))
                 batch["curr_action_dist"] = {"mean": mean, "std": jnp.broadcast_to(std, mean.shape)}
                 batch["curr_value"] = value
                 if self.expose_latent:
-                    batch["actor_intermediate"] = {"backbone.output": outs[2]}
+                    batch["actor_intermediate"] = {"backbone.output": restore(outs[2])}
                 return self, batch, None, {}
 
             # Both same-shape chains run in ONE Pallas kernel invocation per
@@ -184,6 +191,7 @@ class JointPolicyValueEvaluation(Hook):
             from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
 
             actor_latent, critic_latent = fused_mlp_pair(*backbone_args, skip_input_grad=True)
+            actor_latent, critic_latent = restore(actor_latent), restore(critic_latent)
             batch["curr_action_dist"] = actor.distribution(actor_latent)
             batch["actor_intermediate"] = {"backbone.output": actor_latent}
             batch["curr_value"] = critic.head(critic_latent.astype(jnp.float32))

@@ -680,9 +680,15 @@ def _pair_heads_bwd_kernel(
         da = da + gl_ref[...]
     dwv_ref[...] += jax.lax.dot_general(lc, dvalue, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dbv_ref[...] += jnp.sum(dvalue, axis=0, keepdims=True)
-    # dvalue has one column: the latent cotangent is an outer product, cheaper
-    # on the VPU than a K=1 matmul.
-    dc = dvalue * wv_ref[...].reshape(1, -1)
+    # Single-output value head: the latent cotangent is an outer product,
+    # cheaper on the VPU than a K=1 matmul.  Multi-reward critics
+    # (value_dim > 1) need the real contraction.
+    if wv_ref.shape[1] == 1:
+        dc = dvalue * wv_ref[...].reshape(1, -1)
+    else:
+        dc = jax.lax.dot_general(
+            dvalue, wv_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     def chain_bwd(x_ref, d, ws, hs, dx_ref, dws, dbs):
         for i in reversed(range(nl)):
@@ -841,7 +847,9 @@ def _pair_heads_op(
             xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing, block_rows, interpret,
             save=bool(expose_latent),
         )
-        return (mean, value, la) if expose_latent else (mean, value)
+        # la comes back padded to the row-tile multiple; truncate like the
+        # vjp-fwd path does so primal-only calls agree with differentiated ones.
+        return (mean, value, la[: xa.shape[0]]) if expose_latent else (mean, value)
     return _heads_reference(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, activation, trailing, expose_latent)
 
 

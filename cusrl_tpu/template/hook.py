@@ -270,6 +270,10 @@ class HookComposite:
             hooks = list(state.hooks)
             hooks[i] = new_hook
             _merge_metrics(metrics, m)
+        # Strip the shared-pass cache sentinel (hook/on_policy/stats.py) so the
+        # rollout leaves the fold as a pure [T, N] data dict — generic tree-maps
+        # downstream must never traverse cached module pytrees.
+        rollout.pop("__post_update_kl__", None)
         return state.replace(hooks=tuple(hooks)), metrics
 
 

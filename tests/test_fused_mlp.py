@@ -250,3 +250,67 @@ def test_fused_mlp_pair_heads_matches_reference():
         g_ref = jax.grad(lambda p: loss(p, False))(params)
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_kernel)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3, rtol=3e-2)
+
+
+def test_fused_mlp_pair_heads_multi_output_value():
+    """Multi-reward critics have value_dim > 1: the backward kernel must use a
+    real contraction for the critic latent cotangent (advisor round-2 finding:
+    the outer-product shortcut only covers single-output heads)."""
+    import jax
+
+    from cusrl_tpu.nn.kernels.fused_mlp import _heads_reference, fused_mlp_pair_heads
+
+    dims = (24, 64, 32)
+    wsa, bsa = make_params(jax.random.key(50), dims)
+    wsc, bsc = make_params(jax.random.key(51), dims)
+    wm, bm, wv, bv = _head_params(jax.random.key(52), dims[-1], 6, 3)
+    xa = jax.random.normal(jax.random.key(53), (96, dims[0]), jnp.float32)
+    xc = jax.random.normal(jax.random.key(54), (96, dims[0]), jnp.float32)
+    adv = jax.random.normal(jax.random.key(55), (96, 6), jnp.float32)
+    vtgt = jax.random.normal(jax.random.key(56), (96, 3), jnp.float32)
+
+    def loss(params, use_kernel):
+        (wa_, ba_), (wc_, bc_), (wm_, bm_, wv_, bv_) = params
+        if use_kernel:
+            res = fused_mlp_pair_heads(
+                xa, xc, wa_, ba_, wc_, bc_, wm_, bm_, wv_, bv_, "elu", True,
+                use_pallas=True, block_rows=32, interpret=True,
+            )
+        else:
+            res = _heads_reference(xa, xc, wa_, ba_, wc_, bc_, wm_, bm_, wv_, bv_, "elu", True, False)
+        mean, value = res[0], res[1]
+        return jnp.mean(mean * adv) + jnp.mean(jnp.square(value - vtgt))
+
+    params = ((wsa, bsa), (wsc, bsc), (wm, bm, wv, bv))
+    out_kernel = fused_mlp_pair_heads(
+        xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, "elu", True,
+        use_pallas=True, block_rows=32, interpret=True,
+    )
+    assert out_kernel[1].shape == (96, 3)
+    g_kernel = jax.grad(lambda p: loss(p, True))(params)
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_kernel)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3, rtol=3e-2)
+
+
+def test_fused_mlp_pair_heads_primal_latent_unpadded():
+    """Primal-only (no-grad) expose_latent calls must truncate the actor latent
+    to the true row count, matching the vjp-fwd path (advisor round-2 finding:
+    the padded latent leaked through on non-tile-multiple batches)."""
+    import jax
+
+    from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair_heads
+
+    dims = (24, 64, 32)
+    wsa, bsa = make_params(jax.random.key(60), dims)
+    wsc, bsc = make_params(jax.random.key(61), dims)
+    wm, bm, wv, bv = _head_params(jax.random.key(62), dims[-1], 6, 1)
+    xa = jax.random.normal(jax.random.key(63), (40, dims[0]), jnp.float32)
+    xc = jax.random.normal(jax.random.key(64), (40, dims[0]), jnp.float32)
+
+    mean, value, latent = fused_mlp_pair_heads(
+        xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, "elu", True,
+        use_pallas=True, block_rows=32, interpret=True, expose_latent=True,
+    )
+    assert mean.shape[0] == 40 and value.shape[0] == 40
+    assert latent.shape[0] == 40

@@ -254,3 +254,65 @@ def test_head_fused_exposes_latent_for_representation_hooks():
         np.asarray(ref_aux["backbone.output"], np.float32),
         atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("fuse_heads", [False, True])
+def test_fused_path_handles_3d_batches(monkeypatch, fuse_heads):
+    """Temporal minibatches are [T, Ns, D]; the fused kernel path must flatten
+    leading dims before the 2-D pair kernel and restore them on the outputs
+    (advisor round-2 finding: 3-D inputs crashed at trace time)."""
+    from cusrl_tpu.nn.module.mlp import Mlp
+
+    _, agent = make_agent(fuse_actor_critic_evaluation=True)
+    state = agent.state
+    _, hook = find_hook(state.hooks, "joint_policy_value_evaluation")
+    if fuse_heads:
+        hook = hook.replace(fuse_heads=True)
+
+    monkeypatch.setattr(Mlp, "_can_fuse", lambda self, x: True)
+    observation = jax.random.normal(jax.random.PRNGKey(11), (4, 16, 16), jnp.float32)
+    batch = {"observation": observation}
+    _, batch, _, _ = hook.objective(state, {"temporal": True}, batch)
+
+    ref_dist, _, _ = state.actor(observation)
+    ref_value, _, _ = state.critic(observation)
+    assert batch["curr_value"].shape == ref_value.shape
+    for key in ref_dist:
+        assert batch["curr_action_dist"][key].shape == ref_dist[key].shape
+        np.testing.assert_allclose(
+            np.asarray(batch["curr_action_dist"][key], np.float32),
+            np.asarray(ref_dist[key], np.float32),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(batch["curr_value"]), np.asarray(ref_value), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_post_update_strips_kl_cache_sentinel():
+    """compute_rollout_kl caches its shared pass under "__post_update_kl__" in
+    the rollout dict; the composite must strip it after the fold so the rollout
+    stays a pure [T, N] data dict (advisor round-2 finding)."""
+    from cusrl_tpu.hook.on_policy.stats import compute_rollout_kl
+    from cusrl_tpu.template.hook import HookComposite
+
+    env, agent = make_agent()
+    state = agent.state
+    T, N = 4, 8
+    observation = jax.random.normal(jax.random.PRNGKey(13), (T, N, 16), jnp.float32)
+    dist, _, _ = state.actor(observation)
+    action = jax.random.normal(jax.random.PRNGKey(14), (T, N, 4), jnp.float32)
+    rollout = {
+        "observation": observation,
+        "action": action,
+        "action_dist": dist,
+        "action_logp": state.actor.compute_logp(dist, action),
+        "advantage": jnp.ones((T, N, 1), jnp.float32),
+    }
+    kl, _ = compute_rollout_kl(state, rollout)
+    assert "__post_update_kl__" in rollout
+    composite = HookComposite()
+    state, metrics = composite.post_update(state, rollout, None)
+    assert "__post_update_kl__" not in rollout
+    assert "kl_divergence" in metrics
