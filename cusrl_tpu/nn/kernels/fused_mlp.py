@@ -88,6 +88,33 @@ def supports_fused_mlp(activation: str, num_layers: int) -> bool:
     return activation in _SUPPORTED_ACTIVATIONS and num_layers >= 1
 
 
+def kernel_mesh_status(rows: int) -> tuple[bool, "jax.sharding.AbstractMesh | None"]:
+    """Whether the Pallas kernels may engage under the ambient mesh.
+
+    Returns ``(allowed, wrap_mesh)``: ``wrap_mesh`` is the mesh to shard_map
+    the kernel over (pure data parallelism, ``data`` axis > 1, rows divisible),
+    or None when no wrapping is needed.  ``allowed=False`` whenever any
+    non-``data`` axis is sharded (Pallas custom calls cannot partition the
+    weights) or the rows don't divide — callers then keep the XLA chain, which
+    XLA partitions itself.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:  # noqa: BLE001 - conservative under exotic contexts
+        return True, None
+    if mesh is None or getattr(mesh, "empty", True):
+        return True, None
+    shape = dict(mesh.shape)
+    data = shape.pop("data", 1)
+    if any(size != 1 for size in shape.values()):
+        return False, None
+    if data == 1:
+        return True, None
+    if rows % data:
+        return False, None
+    return True, mesh
+
+
 # ---------------------------------------------------------------------------
 # XLA reference (fallback + correctness oracle) — matches Mlp/Linear numerics.
 # ---------------------------------------------------------------------------
@@ -283,6 +310,60 @@ def _fused_op_bwd(activation, trailing, use_pallas, block_rows, block_rows_bwd, 
 _fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Mesh-aware (pure-DP) wrappers: each device runs the kernel on its row shard
+# via shard_map; weight/bias gradients are explicitly psum'd over ``data`` in
+# the backward body (replicated-parameter DDP semantics — the TPU equivalent
+# of the reference's flat-tensor all-reduce, cusrl/utils/distributed.py:145-172,
+# but fused into the kernel's gradient path).  This is what lets the single-
+# chip kernel MFU carry to multi-chip DP runs instead of reverting to XLA.
+# ---------------------------------------------------------------------------
+
+
+def _sharded_fused_mlp(mesh, x, weights, biases, activation, trailing, block_rows, block_rows_bwd, interpret):
+    from jax.sharding import PartitionSpec as P
+
+    row, rep = P("data"), P()
+    nl = len(weights)
+
+    @jax.custom_vjp
+    def op(x, weights, biases):
+        def f(x_, ws_, bs_):
+            return _run_fwd(x_, ws_, bs_, activation, trailing, block_rows, interpret, save_hiddens=False)[0]
+
+        return jax.shard_map(f, mesh=mesh, in_specs=(row, rep, rep), out_specs=row, check_vma=False)(
+            x, weights, biases
+        )
+
+    def op_fwd(x, weights, biases):
+        def f(x_, ws_, bs_):
+            return _run_fwd(x_, ws_, bs_, activation, trailing, block_rows_bwd or block_rows, interpret)
+
+        out, hiddens = jax.shard_map(
+            f, mesh=mesh, in_specs=(row, rep, rep), out_specs=(row, row), check_vma=False
+        )(x, weights, biases)
+        return out, (x, weights, hiddens, out)
+
+    def op_bwd(residuals, g):
+        x, weights, hiddens, out = residuals
+
+        def f(x_, g_, ws_, hs_, out_):
+            dx, dws, dbs = _run_bwd(
+                x_, g_, ws_, hs_, out_, activation, trailing, block_rows_bwd or block_rows, interpret
+            )
+            dws, dbs = jax.lax.psum((dws, dbs), "data")
+            return dx, dws, dbs
+
+        dx, dws, dbs = jax.shard_map(
+            f, mesh=mesh, in_specs=(row, row, rep, row, row), out_specs=(row, rep, rep), check_vma=False
+        )(x, g, weights, hiddens, out)
+        return dx.astype(x.dtype), tuple(dws), tuple(dbs)
+
+    op.defvjp(op_fwd, op_bwd)
+    del nl
+    return op(x, tuple(weights), tuple(biases))
+
+
 def fused_mlp(
     x,
     weights,
@@ -308,6 +389,14 @@ def fused_mlp(
         use_pallas = jax.default_backend() == "tpu"
     block_rows = block_rows or _DEFAULT_BLOCK
     block_rows_bwd = block_rows_bwd or _DEFAULT_BLOCK_BWD
+    if use_pallas:
+        allowed, wrap_mesh = kernel_mesh_status(x.shape[0])
+        if not allowed:
+            use_pallas = False
+        elif wrap_mesh is not None:
+            return _sharded_fused_mlp(
+                wrap_mesh, x, weights, biases, activation, trailing, block_rows, block_rows_bwd, interpret
+            )
     return _fused_op(
         x, tuple(weights), tuple(biases), activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret
     )
@@ -546,6 +635,62 @@ def _pair_op_bwd(activation, trailing, use_pallas, block_rows, block_rows_bwd, i
 _pair_op.defvjp(_pair_op_fwd, _pair_op_bwd)
 
 
+def _sharded_pair_op(
+    mesh, xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows, block_rows_bwd, interpret, skip_input_grad
+):
+    """Pure-DP shard_map wrapper of the pair kernel (see _sharded_fused_mlp)."""
+    from jax.sharding import PartitionSpec as P
+
+    row, rep = P("data"), P()
+
+    @jax.custom_vjp
+    def op(xa, xc, wsa, bsa, wsc, bsc):
+        def f(xa_, xc_, wsa_, bsa_, wsc_, bsc_):
+            return _pair_run_fwd(
+                xa_, xc_, wsa_, bsa_, wsc_, bsc_, activation, trailing, block_rows, interpret,
+                save_hiddens=False,
+            )[:2]
+
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=(row, row, rep, rep, rep, rep), out_specs=(row, row), check_vma=False
+        )(xa, xc, wsa, bsa, wsc, bsc)
+
+    def op_fwd(xa, xc, wsa, bsa, wsc, bsc):
+        def f(xa_, xc_, wsa_, bsa_, wsc_, bsc_):
+            return _pair_run_fwd(
+                xa_, xc_, wsa_, bsa_, wsc_, bsc_, activation, trailing,
+                block_rows_bwd or block_rows, interpret,
+            )
+
+        out_a, out_c, ha, hc = jax.shard_map(
+            f, mesh=mesh, in_specs=(row, row, rep, rep, rep, rep),
+            out_specs=(row, row, row, row), check_vma=False,
+        )(xa, xc, wsa, bsa, wsc, bsc)
+        return (out_a, out_c), (xa, xc, wsa, wsc, ha, hc, out_a, out_c)
+
+    def op_bwd(residuals, gs):
+        xa, xc, wsa, wsc, ha, hc, out_a, out_c = residuals
+        ga, gc = gs
+
+        def f(xa_, xc_, ga_, gc_, wsa_, wsc_, ha_, hc_, outa_, outc_):
+            dxa, dxc, dwa, dba, dwc, dbc = _pair_run_bwd(
+                xa_, xc_, ga_, gc_, wsa_, wsc_, ha_, hc_, outa_, outc_, activation, trailing,
+                block_rows_bwd or block_rows, interpret, skip_input_grad=skip_input_grad,
+            )
+            dwa, dba, dwc, dbc = jax.lax.psum((dwa, dba, dwc, dbc), "data")
+            return dxa, dxc, dwa, dba, dwc, dbc
+
+        dxa, dxc, dwa, dba, dwc, dbc = jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(row, row, row, row, rep, rep, row, row, row, row),
+            out_specs=(row, row, rep, rep, rep, rep), check_vma=False,
+        )(xa, xc, ga, gc, wsa, wsc, ha, hc, out_a, out_c)
+        return dxa.astype(xa.dtype), dxc.astype(xc.dtype), tuple(dwa), tuple(dba), tuple(dwc), tuple(dbc)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(xa, xc, tuple(wsa), tuple(bsa), tuple(wsc), tuple(bsc))
+
+
 def fused_mlp_pair(
     xa,
     xc,
@@ -574,6 +719,15 @@ def fused_mlp_pair(
         use_pallas = jax.default_backend() == "tpu"
     block_rows = block_rows or _DEFAULT_BLOCK
     block_rows_bwd = block_rows_bwd or _DEFAULT_BLOCK_BWD
+    if use_pallas:
+        allowed, wrap_mesh = kernel_mesh_status(xa.shape[0])
+        if not allowed:
+            use_pallas = False
+        elif wrap_mesh is not None:
+            return _sharded_pair_op(
+                wrap_mesh, xa, xc, weights_a, biases_a, weights_c, biases_c,
+                activation, trailing, block_rows, block_rows_bwd, interpret, bool(skip_input_grad),
+            )
     return _pair_op(
         xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
         activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret, bool(skip_input_grad),
@@ -931,6 +1085,11 @@ def fused_mlp_pair_heads(
     assert len(weights_a) == len(weights_c)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and kernel_mesh_status(xa.shape[0]) != (True, None):
+        # Head-fused variant has no shard_map wrapper (it measured slower than
+        # the pair kernel anyway); under any mesh use the XLA reference, which
+        # XLA partitions itself.
+        use_pallas = False
     block_rows = block_rows or _DEFAULT_BLOCK
     block_rows_bwd = block_rows_bwd or _DEFAULT_BLOCK_BWD
     return _pair_heads_op(

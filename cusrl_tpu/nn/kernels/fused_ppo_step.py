@@ -103,7 +103,7 @@ def ppo_step_reference(
 
 
 def _ppo_step_kernel(
-    activation, trailing, nl, loss_clip, inv_n, inv_nv, use_old_value,
+    activation, trailing, nl, loss_clip, inv_n, inv_nv, use_old_value, num_rows, tile_rows,
     xa_ref, xc_ref, act_ref, olp_ref, adv_ref, ov_ref, ret_ref, *refs,
 ):
     wa = refs[:nl]
@@ -149,11 +149,24 @@ def _ppo_step_kernel(
     w_surr = scal_ref[0, 1]
     w_value = scal_ref[0, 2]
 
+    # Padded tail rows (row count need not divide the tile): mask dlt to zero
+    # BEFORE the exp so ratio stays 1.0 on pad rows — downstream terms then
+    # vanish through the zero-padded advantage without inf*0 hazards.  Static:
+    # no mask ops are emitted when the tile divides the row count.
+    row_mask = None
+    if num_rows % tile_rows:
+        row_index = pl.program_id(0) * tile_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_rows, 1), 0
+        )
+        row_mask = (row_index < num_rows).astype(jnp.float32)
+
     # ---- loss (fp32 island) ------------------------------------------------
     z = (act_ref[...] - mean) / std
     log_std = jnp.log(std)
     logp = jnp.sum(-0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI, axis=1, keepdims=True)
     dlt = logp - olp_ref[...]
+    if row_mask is not None:
+        dlt = dlt * row_mask
     ratio = jnp.exp(dlt)
     adv = adv_ref[...]
     lo, hi = 1.0 - clip_ratio, 1.0 + clip_ratio
@@ -175,10 +188,19 @@ def _ppo_step_kernel(
         u = vhat - ret
         vloss_el = jnp.square(u)
 
-    surr_ref[0, 0] += jnp.sum(surr_row)
-    vloss_ref[0, 0] += jnp.sum(vloss_el)
-    absd_ref[0, 0] += jnp.sum(jnp.abs(dlt))
-    vsum_ref[0, 0] += jnp.sum(vhat)
+    if row_mask is not None:
+        # surr_row is already zero on pad rows (zero-padded advantage); the
+        # value terms and the vhat statistic are not.
+        vloss_el = vloss_el * row_mask
+        vhat_stat = vhat * row_mask
+    else:
+        vhat_stat = vhat
+
+    # (1,1)-shaped stores: Mosaic cannot store scalars to VMEM.
+    surr_ref[...] += jnp.sum(surr_row, keepdims=True)
+    vloss_ref[...] += jnp.sum(vloss_el, keepdims=True)
+    absd_ref[...] += jnp.sum(jnp.abs(dlt), keepdims=True)
+    vsum_ref[...] += jnp.sum(vhat_stat, keepdims=True)
 
     # ---- analytic backward of loss_core = w_surr*(-mean surr) + w_value*mean vloss
     # surrogate: dL/d surr_row = -w_surr * inv_n; min picks t1 iff t1 <= t2
@@ -188,6 +210,7 @@ def _ppo_step_kernel(
     pick_t1 = t1 <= t2
     inside = jnp.logical_and(ratio >= lo, ratio <= hi).astype(jnp.float32)
     dsurr_dr = jnp.where(pick_t1, adv, adv * inside)
+    # dlogp vanishes on pad rows through the zero-padded advantage factor.
     dlogp = (g_row * dsurr_dr) * ratio  # [tb, 1]
     dmean = dlogp * (z / std)  # [tb, A]
     dstd_ref[...] += jnp.sum(dlogp * ((jnp.square(z) - 1.0) / std), axis=0, keepdims=True)
@@ -200,6 +223,8 @@ def _ppo_step_kernel(
         dvhat = (w_value * inv_nv) * jnp.where(pick_u, 2.0 * u, 2.0 * w * w_inside)
     else:
         dvhat = (w_value * inv_nv) * (2.0 * u)
+    if row_mask is not None:
+        dvhat = dvhat * row_mask
 
     dwm_ref[...] += jax.lax.dot_general(laf, dmean, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dbm_ref[...] += jnp.sum(dmean, axis=0, keepdims=True)
@@ -233,6 +258,7 @@ def _run_ppo_step(
     xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
     action, old_logp, advantage, old_value, returns, scalars,
     activation, trailing, loss_clip, block_rows, interpret,
+    n_total=None,
 ):
     n, nl = xa.shape[0], len(wsa)
     tb = min(block_rows, max(8, -(-n // 8) * 8))
@@ -240,25 +266,18 @@ def _run_ppo_step(
     grid = (n_pad // tb,)
     a_dim, v_dim = wm.shape[1], wv.shape[1]
     use_old_value = loss_clip is not None
-    inv_n = 1.0 / n
-    inv_nv = 1.0 / (n * v_dim)
+    # n_total: GLOBAL row count when running per-shard inside shard_map — the
+    # per-row loss normalization must use it so psum'd accumulators are exact.
+    inv_n = 1.0 / (n_total or n)
+    inv_nv = 1.0 / ((n_total or n) * v_dim)
 
-    # Padded rows would contribute garbage to the value-loss accumulators
-    # ((vhat-0)^2 is not zero), so the row tile must divide the row count
-    # exactly: pick the largest 8-aligned divisor <= block_rows.
+    # Pad every row operand to the tile multiple; the kernel masks the pad
+    # rows' loss/gradient contributions (zero-padded advantage + explicit
+    # value-term masks), so any row count works.
+    old_value = old_value if use_old_value else jnp.zeros((n, v_dim), jnp.float32)
+    operands = [xa, xc, action, old_logp, advantage, old_value, returns]
     if n_pad != n:
-        tb = 0
-        for cand in range(min(block_rows, n), 7, -8):
-            if n % cand == 0 and cand % 8 == 0:
-                tb = cand
-                break
-        if tb == 0:
-            raise ValueError(f"fused_ppo_step: no 8-aligned row tile divides n={n}")
-        n_pad = n
-        grid = (n // tb,)
-
-    operands = [xa, xc, action, old_logp, advantage,
-                old_value if use_old_value else jnp.zeros((n, v_dim), jnp.float32), returns]
+        operands = [_pad_rows(op, n_pad) for op in operands]
     in_specs = [
         _row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb),
         _row_spec(a_dim, tb), _row_spec(1, tb), _row_spec(1, tb),
@@ -295,7 +314,7 @@ def _run_ppo_step(
     outs = pl.pallas_call(
         functools.partial(
             _ppo_step_kernel, activation, trailing, nl,
-            0.0 if loss_clip is None else float(loss_clip), inv_n, inv_nv, use_old_value,
+            0.0 if loss_clip is None else float(loss_clip), inv_n, inv_nv, use_old_value, n, tb,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -377,6 +396,80 @@ def _ppo_step_bwd(activation, trailing, loss_clip, block_rows, interpret, residu
 _ppo_step_op.defvjp(_ppo_step_fwd, _ppo_step_bwd)
 
 
+def _sharded_ppo_step_op(
+    mesh, xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+    action, old_logp, advantage, old_value, returns, scalars,
+    activation, trailing, loss_clip, block_rows, interpret,
+):
+    """Pure-DP shard_map wrapper: each device runs the mega-kernel on its row
+    shard with GLOBAL loss normalization; the fp32 gradient/metric accumulators
+    are psum'd inside the body (see fused_mlp._sharded_fused_mlp)."""
+    from jax.sharding import PartitionSpec as P
+
+    row, rep = P("data"), P()
+    n_total = xa.shape[0]
+    v_dim = wv.shape[1]
+
+    def run_sharded(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+                    action, old_logp, advantage, old_value, returns, scalars):
+        def f(xa_, xc_, wsa_, bsa_, wsc_, bsc_, wm_, bm_, wv_, bv_, std_,
+              action_, old_logp_, advantage_, old_value_, returns_, scalars_):
+            grads, sums = _run_ppo_step(
+                xa_, xc_, wsa_, bsa_, wsc_, bsc_, wm_, bm_, wv_, bv_, std_,
+                action_, old_logp_, advantage_, old_value_, returns_, scalars_,
+                activation, trailing, loss_clip, block_rows, interpret, n_total=n_total,
+            )
+            return jax.lax.psum((grads, sums), "data")
+
+        in_specs = (row, row, rep, rep, rep, rep, rep, rep, rep, rep, rep,
+                    row, row, row, row, row, rep)
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=rep, check_vma=False)(
+            xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+            action, old_logp, advantage, old_value, returns, scalars,
+        )
+
+    def assemble(grads_sums, scalars):
+        grads, (surr_sum, vloss_sum, absd_sum, vsum) = grads_sums
+        w_surr, w_value = scalars[0, 1], scalars[0, 2]
+        surrogate = -(surr_sum / n_total)
+        value_loss = vloss_sum / (n_total * v_dim)
+        loss_core = w_surr * surrogate + w_value * value_loss
+        metrics = (w_surr * surrogate, w_value * value_loss, absd_sum / n_total, vsum / n_total)
+        return (loss_core, metrics), grads
+
+    @jax.custom_vjp
+    def op(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+           action, old_logp, advantage, old_value, returns, scalars):
+        gs = run_sharded(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+                         action, old_logp, advantage, old_value, returns, scalars)
+        return assemble(gs, scalars)[0]
+
+    def op_fwd(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+               action, old_logp, advantage, old_value, returns, scalars):
+        gs = run_sharded(xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+                         action, old_logp, advantage, old_value, returns, scalars)
+        out, grads = assemble(gs, scalars)
+        data_avals = (xa, xc, action, old_logp, advantage, old_value, returns, scalars)
+        return out, (grads, data_avals)
+
+    def op_bwd(residuals, gs):
+        grads, data_avals = residuals
+        dwa, dba, dwc, dbc, dwm, dbm, dwv, dbv, dstd = grads
+        g = gs[0]
+        scale = lambda t: jax.tree.map(lambda x: x * g, t)
+        z_xa, z_xc, z_act, z_olp, z_adv, z_ov, z_ret, z_scal = (jnp.zeros_like(a) for a in data_avals)
+        return (
+            z_xa, z_xc,
+            scale(tuple(dwa)), scale(tuple(dba)), scale(tuple(dwc)), scale(tuple(dbc)),
+            scale(dwm), scale(dbm), scale(dwv), scale(dbv), scale(dstd),
+            z_act, z_olp, z_adv, z_ov, z_ret, z_scal,
+        )
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(xa, xc, tuple(wsa), tuple(bsa), tuple(wsc), tuple(bsc), wm, bm, wv, bv, std,
+              action, old_logp, advantage, old_value, returns, scalars)
+
+
 def fused_ppo_step(
     xa, xc, weights_a, biases_a, weights_c, biases_c,
     mean_weight, mean_bias, value_weight, value_bias, std,
@@ -403,6 +496,13 @@ def fused_ppo_step(
     activation = activation.lower() if isinstance(activation, str) else activation
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    wrap_mesh = None
+    if use_pallas:
+        from cusrl_tpu.nn.kernels.fused_mlp import kernel_mesh_status
+
+        allowed, wrap_mesh = kernel_mesh_status(xa.shape[0])
+        if not allowed:
+            use_pallas = False
     old_logp = old_logp.reshape(-1, 1)
     advantage = advantage.reshape(-1, 1)
     if not use_pallas:
@@ -419,14 +519,19 @@ def fused_ppo_step(
         [jnp.asarray(clip_ratio, jnp.float32), jnp.asarray(w_surr, jnp.float32),
          jnp.asarray(w_value, jnp.float32), jnp.zeros((), jnp.float32)]
     ).reshape(1, 4)
-    loss_core, metrics = _ppo_step_op(
+    op_args = (
         xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
         mean_weight, mean_bias, value_weight, value_bias,
         std.reshape(1, -1).astype(jnp.float32),
         action.astype(jnp.float32), old_logp.astype(jnp.float32), advantage.astype(jnp.float32),
         (old_value if old_value is not None else returns).astype(jnp.float32),
         returns.astype(jnp.float32), scalars,
-        activation, trailing, loss_clip, block_rows, interpret,
     )
+    if wrap_mesh is not None:
+        loss_core, metrics = _sharded_ppo_step_op(
+            wrap_mesh, *op_args, activation, trailing, loss_clip, block_rows, interpret
+        )
+    else:
+        loss_core, metrics = _ppo_step_op(*op_args, activation, trailing, loss_clip, block_rows, interpret)
     metrics = jax.tree.map(jax.lax.stop_gradient, metrics)
     return loss_core, metrics

@@ -18,15 +18,15 @@ from cusrl_tpu.nn.layer.linear import Linear, get_activation
 __all__ = ["Mlp", "MlpFactory"]
 
 
-def _inside_mesh() -> bool:
-    """True when tracing under an active device mesh — Pallas custom calls do
-    not auto-partition over NamedShardings, so sharded (multi-chip) programs
-    keep the XLA dot chain (which XLA shards with inserted collectives)."""
-    try:
-        mesh = jax.sharding.get_abstract_mesh()
-        return bool(getattr(mesh, "shape_tuple", ()) or not getattr(mesh, "empty", True))
-    except Exception:
-        return False
+def _mesh_allows_kernel(rows: int) -> bool:
+    """Pallas custom calls do not auto-partition over NamedShardings.  Under a
+    PURE-DP mesh the kernels now run per-shard via shard_map (explicit psum of
+    weight grads — nn/kernels/fused_mlp.py), so the single-chip MFU carries to
+    multi-chip DP.  Any model/other-axis sharding (TP) keeps the XLA dot chain,
+    which XLA partitions itself."""
+    from cusrl_tpu.nn.kernels.fused_mlp import kernel_mesh_status
+
+    return kernel_mesh_status(rows)[0]
 
 
 class Mlp(Module):
@@ -71,7 +71,7 @@ class Mlp(Module):
             and x.ndim >= 2
             and rows >= 256
             and jax.default_backend() == "tpu"
-            and not _inside_mesh()
+            and _mesh_allows_kernel(rows)
             and supports_fused_mlp(self.activation, len(self.layers))
             and all(l.compute_dtype == "bfloat16" and l.bias is not None for l in self.layers)
         )

@@ -13,6 +13,7 @@ from cusrl_tpu.hook.control.initialization import ModuleInitialization
 from cusrl_tpu.hook.mdp.observation import ObservationNormalization
 from cusrl_tpu.hook.on_policy.advantage import AdvantageNormalization
 from cusrl_tpu.hook.on_policy.common import OnPolicyPreparation
+from cusrl_tpu.hook.on_policy.fused_update import FusedPpoUpdate
 from cusrl_tpu.hook.on_policy.gae import GeneralizedAdvantageEstimation
 from cusrl_tpu.hook.on_policy.gradient_clipping import GradientClipping
 from cusrl_tpu.hook.on_policy.joint_eval import JointPolicyValueEvaluation
@@ -53,7 +54,29 @@ def ppo_hook_suite(
     desired_kl_divergence: float | None = None,
     max_kl_divergence: float | None = None,
     fuse_actor_critic_evaluation: bool = False,
+    fused_ppo_update: bool = False,
 ) -> list[Hook]:
+    if fused_ppo_update:
+        # One Pallas kernel computes surrogate + value loss + their analytic
+        # backward; entropy stays in XLA.  Replaces the five-hook objective
+        # span below with identical math (hook/on_policy/fused_update.py).
+        objective_span: list[Hook | None] = [
+            FusedPpoUpdate(
+                clip_ratio=surrogate_clip_ratio,
+                weight=surrogate_loss_weight,
+                value_loss_weight=value_loss_weight,
+                entropy_loss_weight=entropy_loss_weight,
+                value_loss_clip=value_loss_clip,
+            )
+        ]
+    else:
+        objective_span = [
+            JointPolicyValueEvaluation() if fuse_actor_critic_evaluation else None,
+            ValueLoss(weight=value_loss_weight, loss_clip=value_loss_clip),
+            OnPolicyPreparation(),
+            PpoSurrogateLoss(clip_ratio=surrogate_clip_ratio, weight=surrogate_loss_weight),
+            EntropyLoss(weight=entropy_loss_weight),
+        ]
     hooks: list[Hook | None] = [
         ModuleInitialization(init_actor=orthogonal_init, init_critic=orthogonal_init),
         (
@@ -66,11 +89,7 @@ def ppo_hook_suite(
         ValueComputation(),
         GeneralizedAdvantageEstimation(gamma=gae_gamma, lamda=gae_lamda, lamda_value=gae_lamda_value),
         AdvantageNormalization() if normalize_advantage else None,
-        JointPolicyValueEvaluation() if fuse_actor_critic_evaluation else None,
-        ValueLoss(weight=value_loss_weight, loss_clip=value_loss_clip),
-        OnPolicyPreparation(),
-        PpoSurrogateLoss(clip_ratio=surrogate_clip_ratio, weight=surrogate_loss_weight),
-        EntropyLoss(weight=entropy_loss_weight),
+        *objective_span,
         GradientClipping.create(max_grad_norm, grad_clip_groups),
         OnPolicyStatistics(),
         (
@@ -123,6 +142,11 @@ class PpoAgentFactory(AgentFactory):
     # TPU perf knob: evaluate actor+critic backbones as ONE stacked matmul chain
     # in the update (requires same-shape feedforward MLP backbones).
     fuse_actor_critic_evaluation: bool = False
+    # Stronger TPU perf knob: compute the whole PPO+value objective (backbones,
+    # heads, loss, analytic backward) in ONE Pallas kernel per minibatch.
+    # Same preconditions as above plus a NormalDist actor; supersedes
+    # fuse_actor_critic_evaluation when set.
+    fused_ppo_update: bool = False
 
     def _backbone_factory(self, hidden_dims) -> MlpFactory:
         return MlpFactory(hidden_dims=tuple(hidden_dims), activation=self.activation_fn, ends_with_activation=True)
@@ -147,6 +171,7 @@ class PpoAgentFactory(AgentFactory):
             desired_kl_divergence=self.desired_kl_divergence,
             max_kl_divergence=self.max_kl_divergence,
             fuse_actor_critic_evaluation=self.fuse_actor_critic_evaluation,
+            fused_ppo_update=self.fused_ppo_update,
         )
 
     def to_underlying(self) -> ActorCriticFactory:

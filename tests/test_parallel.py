@@ -97,3 +97,114 @@ def test_shard_batch_and_replicate_placement():
     assert len(sharded.sharding.device_set) == 8
     replicated = replicate(x, mesh)
     assert replicated.sharding.is_fully_replicated
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under a pure-DP mesh (shard_map wrappers): numerics must match
+# the single-device kernel exactly, with weight grads psum'd over 'data'.
+# ---------------------------------------------------------------------------
+
+
+def _mk_mlp_params(key, dims):
+    ws, bs = [], []
+    for i in range(len(dims) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        ws.append(jax.random.normal(k1, (dims[i], dims[i + 1]), jnp.float32) / np.sqrt(dims[i]))
+        bs.append(jax.random.normal(k2, (1, dims[i + 1]), jnp.float32) * 0.1)
+    return tuple(ws), tuple(bs)
+
+
+def test_kernel_mesh_status():
+    from cusrl_tpu.nn.kernels.fused_mlp import kernel_mesh_status
+
+    assert kernel_mesh_status(1024) == (True, None)
+    dp = get_mesh(1)  # 8 x 1 (data x model)
+    with jax.set_mesh(dp):
+        allowed, wrap = kernel_mesh_status(1024)
+        assert allowed and wrap is not None
+        # rows not divisible by data size -> XLA chain
+        assert kernel_mesh_status(1023) == (False, None)
+    tp = get_mesh(model_parallel_size=2)
+    with jax.set_mesh(tp):
+        assert kernel_mesh_status(1024) == (False, None)
+
+
+def test_fused_mlp_pair_kernel_on_dp_mesh_matches_single_device():
+    from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
+
+    dims = (24, 64, 32)
+    wsa, bsa = _mk_mlp_params(jax.random.key(70), dims)
+    wsc, bsc = _mk_mlp_params(jax.random.key(71), dims)
+    xa = jax.random.normal(jax.random.key(72), (128, dims[0]), jnp.float32)
+    xc = jax.random.normal(jax.random.key(73), (128, dims[0]), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(74), (128, dims[-1]), jnp.float32)
+
+    def loss(params, xa_, xc_):
+        (wa, ba), (wc, bc) = params
+        a, c = fused_mlp_pair(
+            xa_, xc_, wa, ba, wc, bc, "elu", True,
+            use_pallas=True, block_rows=32, interpret=True,
+        )
+        return jnp.mean(jnp.square(a.astype(jnp.float32) - tgt)) + jnp.mean(
+            jnp.square(c.astype(jnp.float32) - 2.0 * tgt)
+        )
+
+    params = ((wsa, bsa), (wsc, bsc))
+    l_single, g_single = jax.value_and_grad(loss)(params, xa, xc)
+
+    mesh = get_mesh(1)
+    with jax.set_mesh(mesh):
+        xa_s = shard_batch(xa, mesh)
+        xc_s = shard_batch(xc, mesh)
+        params_s = replicate(params, mesh)
+        l_mesh, g_mesh = jax.jit(jax.value_and_grad(loss))(params_s, xa_s, xc_s)
+
+    np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_single), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ppo_step_kernel_on_dp_mesh_matches_single_device():
+    from cusrl_tpu.nn.kernels.fused_ppo_step import fused_ppo_step
+
+    dims = (24, 64, 32)
+    a_dim = 6
+    wsa, bsa = _mk_mlp_params(jax.random.key(80), dims)
+    wsc, bsc = _mk_mlp_params(jax.random.key(81), dims)
+    wm = jax.random.normal(jax.random.key(82), (dims[-1], a_dim), jnp.float32) * 0.2
+    bm = jnp.zeros((1, a_dim), jnp.float32)
+    wv = jax.random.normal(jax.random.key(83), (dims[-1], 1), jnp.float32) * 0.2
+    bv = jnp.zeros((1, 1), jnp.float32)
+    std = jnp.ones((a_dim,), jnp.float32)
+    n = 128
+    xa = jax.random.normal(jax.random.key(84), (n, 24), jnp.float32)
+    xc = jax.random.normal(jax.random.key(85), (n, 24), jnp.float32)
+    action = jax.random.normal(jax.random.key(86), (n, a_dim), jnp.float32)
+    old_logp = jax.random.normal(jax.random.key(87), (n, 1), jnp.float32) * 0.1 - 6.0
+    advantage = jax.random.normal(jax.random.key(88), (n, 1), jnp.float32)
+    returns = jax.random.normal(jax.random.key(89), (n, 1), jnp.float32)
+
+    def loss(params, data):
+        (wa, ba), (wc, bc), (wm_, bm_, wv_, bv_, std_) = params
+        xa_, xc_, action_, old_logp_, advantage_, returns_ = data
+        out, _ = fused_ppo_step(
+            xa_, xc_, wa, ba, wc, bc, wm_, bm_, wv_, bv_, std_,
+            action_, old_logp_, advantage_, None, returns_,
+            0.2, 1.0, 0.5, "elu", True,
+            loss_clip=None, use_pallas=True, block_rows=32, interpret=True,
+        )
+        return out
+
+    params = ((wsa, bsa), (wsc, bsc), (wm, bm, wv, bv, std))
+    data = (xa, xc, action, old_logp, advantage, returns)
+    l_single, g_single = jax.value_and_grad(loss)(params, data)
+
+    mesh = get_mesh(1)
+    with jax.set_mesh(mesh):
+        data_s = tuple(shard_batch(d, mesh) for d in data)
+        params_s = replicate(params, mesh)
+        l_mesh, g_mesh = jax.jit(jax.value_and_grad(loss))(params_s, data_s)
+
+    np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_single), rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
