@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,12 @@ from cusrl_tpu.nn.kernels.fused_mlp import (
 __all__ = ["fused_ppo_step", "ppo_step_reference"]
 
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+# Sweepable row tile (benchmarks/tpu_fused_ppo_check.py).  The mega-kernel
+# holds BOTH chains' activations plus fp32 gradient accumulators per tile:
+# 1024 rows exceeds the 16 MB scoped-VMEM limit at the bench shapes (measured
+# 16.87 MB); 512 fits.
+_DEFAULT_BLOCK_PPO = int(os.environ.get("CUSRL_TPU_PPO_BLOCK", 512))
 
 
 def _row_spec(dim, tb):
@@ -480,7 +487,7 @@ def fused_ppo_step(
     *,
     loss_clip: float | None = None,
     use_pallas: bool | None = None,
-    block_rows: int = 1024,
+    block_rows: int | None = None,
     interpret: bool = False,
 ):
     """Fused PPO+value train step.  Returns ``(loss_core, (surrogate_loss,
@@ -494,6 +501,7 @@ def fused_ppo_step(
     chain it to ``std_param`` through the bijector in XLA).
     """
     activation = activation.lower() if isinstance(activation, str) else activation
+    block_rows = block_rows or _DEFAULT_BLOCK_PPO
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     wrap_mesh = None

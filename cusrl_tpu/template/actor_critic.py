@@ -313,8 +313,13 @@ class ActorCritic(Agent):
             return None
         return accessed
 
-    def update_body(self, state: AgentState, rollout: dict, key: jax.Array):
-        """Pure: returns (state, metrics). The whole learner step."""
+    def update_body(self, state: AgentState, rollout: dict, key: jax.Array, buffer_state: dict | None = None):
+        """Pure: returns (state, metrics). The whole learner step.
+
+        ``buffer_state`` (optional, traced ``{"cursor", "full"}``) lets the
+        random samplers honor partially-filled / wrapped circular buffers
+        (reference: cusrl/sampler/random_sampler.py:47-76); ``None`` means the
+        rollout is statically full (the fused scan path)."""
         snapshot = (state.actor, state.critic, state.hooks, state.opt_state)
         state, rollout, metrics_pre = self._composite.pre_update(state, rollout)
 
@@ -420,7 +425,14 @@ class ActorCritic(Agent):
             state, stacked = jax.lax.scan(epoch_body, state, (jnp.arange(num_epochs), epoch_perms))
             metrics_steps = {k: jnp.mean(v) for k, v in stacked.items()}
         else:
-            static_meta, meta_arrays, indices = self.sampler.make_plan(key, capacity, parallelism, rollout)
+            import inspect
+
+            if buffer_state is not None and "buffer_state" in inspect.signature(self.sampler.make_plan).parameters:
+                static_meta, meta_arrays, indices = self.sampler.make_plan(
+                    key, capacity, parallelism, rollout, buffer_state=buffer_state
+                )
+            else:
+                static_meta, meta_arrays, indices = self.sampler.make_plan(key, capacity, parallelism, rollout)
 
             def flat_step(carry, xs):
                 meta_i, idx = xs
@@ -503,7 +515,13 @@ class ActorCritic(Agent):
             return super().update()
         rollout = self.buffer.data
         key = self.next_key()
-        self.state, metrics = self._get_update_jit()(self.state, rollout, key)
+        # Fill state as TRACED scalars: samplers bound their draws by it
+        # without a recompile per cursor value.
+        buffer_state = {
+            "cursor": jnp.asarray(self.buffer.cursor, jnp.int32),
+            "full": jnp.asarray(self.buffer.full),
+        }
+        self.state, metrics = self._get_update_jit()(self.state, rollout, key, buffer_state)
         self.record(metrics)
         return self.finish_update()
 
