@@ -51,6 +51,9 @@ _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 # 1024 rows exceeds the 16 MB scoped-VMEM limit at the bench shapes (measured
 # 16.87 MB); 512 fits.
 _DEFAULT_BLOCK_PPO = int(os.environ.get("CUSRL_TPU_PPO_BLOCK", 512))
+# Split mode streams saved activations instead of holding both chains live, so
+# it tolerates the pair kernels' preferred (larger) tile.
+_DEFAULT_BLOCK_PPO_SPLIT = int(os.environ.get("CUSRL_TPU_PPO_BLOCK_SPLIT", 1024))
 
 
 def _row_spec(dim, tb):
@@ -145,6 +148,27 @@ def _ppo_step_kernel(
 
     hs_a = chain_fwd(xa_ref, wa, ba)
     hs_c = chain_fwd(xc_ref, wc, bc)
+    _loss_tail(
+        activation, trailing, nl, loss_clip, inv_n, inv_nv, use_old_value, num_rows, tile_rows,
+        xa_ref, xc_ref, act_ref, olp_ref, adv_ref, ov_ref, ret_ref,
+        wa, wc, wm_ref, bm_ref, wv_ref, bv_ref, std_ref, scal_ref, hs_a, hs_c,
+        dwa, dba, dwc, dbc, dwm_ref, dbm_ref, dwv_ref, dbv_ref, dstd_ref,
+        surr_ref, vloss_ref, absd_ref, vsum_ref,
+    )
+
+
+def _loss_tail(
+    activation, trailing, nl, loss_clip, inv_n, inv_nv, use_old_value, num_rows, tile_rows,
+    xa_ref, xc_ref, act_ref, olp_ref, adv_ref, ov_ref, ret_ref,
+    wa, wc, wm_ref, bm_ref, wv_ref, bv_ref, std_ref, scal_ref, hs_a, hs_c,
+    dwa, dba, dwc, dbc, dwm_ref, dbm_ref, dwv_ref, dbv_ref, dstd_ref,
+    surr_ref, vloss_ref, absd_ref, vsum_ref,
+):
+    """Heads + PPO/value loss + analytic backward over SAVED activations
+    (``hs_a``/``hs_c`` are per-tile VALUES: h_1..h_{nl-1}, latent).  Shared by
+    the mono kernel (activations from in-kernel forward) and the split
+    loss-backward kernel (activations streamed from the saved-activation
+    forward kernel)."""
     laf = hs_a[-1].astype(jnp.float32)
     lcf = hs_c[-1].astype(jnp.float32)
 
@@ -281,6 +305,13 @@ def _run_ppo_step(
     # Pad every row operand to the tile multiple; the kernel masks the pad
     # rows' loss/gradient contributions (zero-padded advantage + explicit
     # value-term masks), so any row count works.
+    #
+    # Inputs and backbone weights ship as bf16: the kernel consumes them only
+    # after an .astype(bf16) anyway, and the f32 copies were what pushed the
+    # scoped-VMEM allocation past 16 MB at 1024-row tiles (measured 16.87 MB).
+    xa, xc = xa.astype(jnp.bfloat16), xc.astype(jnp.bfloat16)
+    wsa = tuple(w.astype(jnp.bfloat16) for w in wsa)
+    wsc = tuple(w.astype(jnp.bfloat16) for w in wsc)
     old_value = old_value if use_old_value else jnp.zeros((n, v_dim), jnp.float32)
     operands = [xa, xc, action, old_logp, advantage, old_value, returns]
     if n_pad != n:
@@ -340,6 +371,158 @@ def _run_ppo_step(
 
 
 # ---------------------------------------------------------------------------
+# Split mode (default): the saved-activation PAIR forward kernel (fused_mlp,
+# 76% MFU at its preferred tile) followed by ONE loss-backward kernel that
+# consumes the saved activations — heads, loss math, and both gradient chains
+# with no XLA tail.  The mono single-kernel variant above keeps everything in
+# VMEM but its fwd+bwd tile pressure caps MFU at ~53% (measured on v5e:
+# mono 0.471 ms/step vs split target ~0.34); kept for comparison via
+# CUSRL_TPU_PPO_MODE=mono.
+# ---------------------------------------------------------------------------
+
+
+def _loss_bwd_kernel(
+    activation, trailing, nl, loss_clip, inv_n, inv_nv, use_old_value, num_rows, tile_rows,
+    xa_ref, xc_ref, act_ref, olp_ref, adv_ref, ov_ref, ret_ref, *refs,
+):
+    wa = refs[:nl]
+    wc = refs[nl : 2 * nl]
+    wm_ref, bm_ref, wv_ref, bv_ref, std_ref, scal_ref = refs[2 * nl : 2 * nl + 6]
+    hs_a = [r[...] for r in refs[2 * nl + 6 : 3 * nl + 6]]
+    hs_c = [r[...] for r in refs[3 * nl + 6 : 4 * nl + 6]]
+    outs = refs[4 * nl + 6 :]
+    dwa = outs[:nl]
+    dba = outs[nl : 2 * nl]
+    dwc = outs[2 * nl : 3 * nl]
+    dbc = outs[3 * nl : 4 * nl]
+    (dwm_ref, dbm_ref, dwv_ref, dbv_ref, dstd_ref,
+     surr_ref, vloss_ref, absd_ref, vsum_ref) = outs[4 * nl : 4 * nl + 9]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (*dwa, *dba, *dwc, *dbc, dwm_ref, dbm_ref, dwv_ref, dbv_ref, dstd_ref,
+                    surr_ref, vloss_ref, absd_ref, vsum_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    _loss_tail(
+        activation, trailing, nl, loss_clip, inv_n, inv_nv, use_old_value, num_rows, tile_rows,
+        xa_ref, xc_ref, act_ref, olp_ref, adv_ref, ov_ref, ret_ref,
+        wa, wc, wm_ref, bm_ref, wv_ref, bv_ref, std_ref, scal_ref, hs_a, hs_c,
+        dwa, dba, dwc, dbc, dwm_ref, dbm_ref, dwv_ref, dbv_ref, dstd_ref,
+        surr_ref, vloss_ref, absd_ref, vsum_ref,
+    )
+
+
+def _run_loss_bwd(
+    xa, xc, hs_a, hs_c, wsa, wsc, wm, bm, wv, bv, std,
+    action, old_logp, advantage, old_value, returns, scalars,
+    activation, trailing, loss_clip, tb, interpret, n_total=None,
+):
+    """hs_a/hs_c: per-chain (h_1, ..., h_{nl-1}, latent), PADDED to the tile
+    multiple (the forward kernel's layout); xa/xc and the loss rows are padded
+    here to match."""
+    n, nl = xa.shape[0], len(wsa)
+    n_pad = hs_a[-1].shape[0]
+    assert n_pad % tb == 0
+    grid = (n_pad // tb,)
+    a_dim, v_dim = wm.shape[1], wv.shape[1]
+    use_old_value = loss_clip is not None
+    inv_n = 1.0 / (n_total or n)
+    inv_nv = 1.0 / ((n_total or n) * v_dim)
+
+    old_value = old_value if use_old_value else jnp.zeros((n, v_dim), jnp.float32)
+    rows = [xa, xc, action, old_logp, advantage, old_value, returns]
+    if n_pad != n:
+        rows = [_pad_rows(r, n_pad) for r in rows]
+    operands = rows + [*wsa, *wsc, wm, bm, wv, bv, std, scalars, *hs_a, *hs_c]
+
+    in_specs = [
+        _row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb),
+        _row_spec(a_dim, tb), _row_spec(1, tb), _row_spec(1, tb),
+        _row_spec(v_dim, tb), _row_spec(v_dim, tb),
+    ]
+    in_specs += [_const_spec(w.shape) for w in wsa] + [_const_spec(w.shape) for w in wsc]
+    in_specs += [
+        _const_spec(wm.shape), _const_spec(bm.shape), _const_spec(wv.shape), _const_spec(bv.shape),
+        _const_spec(std.shape), _const_spec(scalars.shape),
+    ]
+    in_specs += [_row_spec(h.shape[1], tb) for h in hs_a] + [_row_spec(h.shape[1], tb) for h in hs_c]
+
+    out_specs = []
+    out_shapes = []
+    for ws in (wsa, wsc):
+        for w in ws:
+            out_specs.append(_const_spec(w.shape))
+            out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        for w in ws:
+            out_specs.append(_const_spec((1, w.shape[1])))
+            out_shapes.append(jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32))
+    dw_specs_a = out_specs[: 2 * nl]
+    dw_shapes_a = out_shapes[: 2 * nl]
+    dw_specs_c = out_specs[2 * nl :]
+    dw_shapes_c = out_shapes[2 * nl :]
+    out_specs = dw_specs_a + dw_specs_c
+    out_shapes = dw_shapes_a + dw_shapes_c
+    for shape in (wm.shape, (1, a_dim), wv.shape, (1, v_dim), (1, a_dim), (1, 1), (1, 1), (1, 1), (1, 1)):
+        out_specs.append(_const_spec(shape))
+        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _loss_bwd_kernel, activation, trailing, nl,
+            0.0 if loss_clip is None else float(loss_clip), inv_n, inv_nv, use_old_value, n, tb,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+    dwa = tuple(outs[:nl])
+    dba = tuple(outs[nl : 2 * nl])
+    dwc = tuple(outs[2 * nl : 3 * nl])
+    dbc = tuple(outs[3 * nl : 4 * nl])
+    dwm, dbm, dwv, dbv, dstd, surr_sum, vloss_sum, absd_sum, vsum = outs[4 * nl :]
+    return (dwa, dba, dwc, dbc, dwm, dbm, dwv, dbv, dstd), (
+        surr_sum[0, 0], vloss_sum[0, 0], absd_sum[0, 0], vsum[0, 0],
+    )
+
+
+_PPO_MODE = os.environ.get("CUSRL_TPU_PPO_MODE", "split")
+
+
+def _run_step_any(
+    xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+    action, old_logp, advantage, old_value, returns, scalars,
+    activation, trailing, loss_clip, block_rows, interpret, n_total=None,
+):
+    if _PPO_MODE == "mono":
+        return _run_ppo_step(
+            xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
+            action, old_logp, advantage, old_value, returns, scalars,
+            activation, trailing, loss_clip, block_rows, interpret, n_total=n_total,
+        )
+    from cusrl_tpu.nn.kernels.fused_mlp import _pair_run_fwd
+
+    xa16, xc16 = xa.astype(jnp.bfloat16), xc.astype(jnp.bfloat16)
+    wsa16 = tuple(w.astype(jnp.bfloat16) for w in wsa)
+    wsc16 = tuple(w.astype(jnp.bfloat16) for w in wsc)
+    n = xa.shape[0]
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    la, lc, ha, hc = _pair_run_fwd(
+        xa16, xc16, wsa16, bsa, wsc16, bsc, activation, trailing, tb, interpret, save_hiddens=True
+    )
+    hs_a = tuple(ha) + (_pad_rows(la, n_pad),)
+    hs_c = tuple(hc) + (_pad_rows(lc, n_pad),)
+    return _run_loss_bwd(
+        xa16, xc16, hs_a, hs_c, wsa16, wsc16, wm, bm, wv, bv, std,
+        action, old_logp, advantage, old_value, returns, scalars,
+        activation, trailing, loss_clip, tb, interpret, n_total=n_total,
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper: forward stores the combined-loss gradients as residuals;
 # backward scales them by the loss cotangent (gradients are linear in it).
 # ---------------------------------------------------------------------------
@@ -366,7 +549,7 @@ def _ppo_step_fwd(
 ):
     n = xa.shape[0]
     v_dim = wv.shape[1]
-    grads, (surr_sum, vloss_sum, absd_sum, vsum) = _run_ppo_step(
+    grads, (surr_sum, vloss_sum, absd_sum, vsum) = _run_step_any(
         xa, xc, wsa, bsa, wsc, bsc, wm, bm, wv, bv, std,
         action, old_logp, advantage, old_value, returns, scalars,
         activation, trailing, loss_clip, block_rows, interpret,
@@ -421,7 +604,7 @@ def _sharded_ppo_step_op(
                     action, old_logp, advantage, old_value, returns, scalars):
         def f(xa_, xc_, wsa_, bsa_, wsc_, bsc_, wm_, bm_, wv_, bv_, std_,
               action_, old_logp_, advantage_, old_value_, returns_, scalars_):
-            grads, sums = _run_ppo_step(
+            grads, sums = _run_step_any(
                 xa_, xc_, wsa_, bsa_, wsc_, bsc_, wm_, bm_, wv_, bv_, std_,
                 action_, old_logp_, advantage_, old_value_, returns_, scalars_,
                 activation, trailing, loss_clip, block_rows, interpret, n_total=n_total,
@@ -501,7 +684,7 @@ def fused_ppo_step(
     chain it to ``std_param`` through the bijector in XLA).
     """
     activation = activation.lower() if isinstance(activation, str) else activation
-    block_rows = block_rows or _DEFAULT_BLOCK_PPO
+    block_rows = block_rows or (_DEFAULT_BLOCK_PPO if _PPO_MODE == "mono" else _DEFAULT_BLOCK_PPO_SPLIT)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     wrap_mesh = None

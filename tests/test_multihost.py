@@ -104,3 +104,181 @@ def test_two_process_bootstrap(tmp_path):
         # rank-0 creates directories; both agree on rank-0's path.
         assert r["made_dirs"]
     assert results[0]["log_dir"] == results[1]["log_dir"]
+
+
+# ---------------------------------------------------------------------------
+# REAL cross-process training: 2 jax.distributed processes run 3 PPO updates
+# over per-process environment shards via cross_process_update; final params
+# must match a single-process run on the concatenated batch, and a checkpoint
+# saved by rank 0 must resume identically on both ranks.  (Counterpart of the
+# reference's torchrun-compatible integration tests,
+# cusrl_test/integration/test_agent_ppo_basic.py:25-27.)
+# ---------------------------------------------------------------------------
+
+_TRAIN_COMMON = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["REPO_ROOT"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+import cusrl_tpu
+from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+
+T, N_LOCAL, OBS, ACT = 6, 8, 12, 3
+
+
+def build_agent():
+    cusrl_tpu.set_global_seed(7)
+    from cusrl_tpu.utils import misc
+    misc._KEY_COUNTER[0] = 0
+    env = VelocityLocomotionEnv(num_instances=N_LOCAL, observation_dim=OBS, action_dim=ACT, seed=1)
+    return cusrl_tpu.PpoAgentFactory(
+        num_steps_per_update=T,
+        actor_hidden_dims=(16,),
+        critic_hidden_dims=(16,),
+        sampler_epochs=2,
+        sampler_mini_batches=2,
+    )(env.spec)
+
+
+def synth_rollout(agent, seed):
+    # Deterministic synthetic transitions (identical given params + seed):
+    # the test isolates the cross-process UPDATE path, not env stepping.
+    rng = np.random.default_rng(seed)
+    obs = jnp.asarray(rng.standard_normal((T, N_LOCAL, OBS)), jnp.float32)
+    nxt = jnp.asarray(rng.standard_normal((T, N_LOCAL, OBS)), jnp.float32)
+    action = jnp.asarray(rng.standard_normal((T, N_LOCAL, ACT)), jnp.float32)
+    reward = jnp.asarray(rng.standard_normal((T, N_LOCAL, 1)), jnp.float32)
+    done = jnp.asarray(rng.random((T, N_LOCAL, 1)) < 0.1)
+    dist, _, _ = agent.state.actor(obs)
+    return {
+        "observation": obs,
+        "next_observation": nxt,
+        "action": action,
+        "action_dist": dist,
+        "action_logp": agent.state.actor.compute_logp(dist, action),
+        "reward": reward,
+        "terminated": done,
+        "truncated": jnp.zeros_like(done),
+        "done": done,
+    }
+"""
+
+_TRAIN_WORKER = _TRAIN_COMMON + r"""
+from cusrl_tpu.utils.config import configure_distributed
+from cusrl_tpu.utils import distributed
+from cusrl_tpu.parallel.multiprocess import broadcast_agent_state, cross_process_update
+
+configure_distributed(timeout_s=60)
+rank = distributed.rank()
+
+agent = build_agent()
+broadcast_agent_state(agent)
+
+for it in range(3):
+    rollout = synth_rollout(agent, seed=500 + 1000 * rank + it)
+    cross_process_update(agent, key=jax.random.fold_in(jax.random.key(123), it), rollout=rollout)
+
+w_after_3 = np.asarray(agent.state.actor.backbone.layers[0].weight, np.float64)
+
+# Checkpoint on rank 0, resume on BOTH ranks into fresh agents, then one more
+# cross-process update from the restored state.
+ckpt_path = os.path.join(os.environ["TEST_TMP"], "ckpt.npz")
+if rank == 0:
+    state_dict = agent.state_dict()
+    flat = {f"s::{k}": v for k, v in state_dict["agent_state"].items()}
+    np.savez(ckpt_path, **flat)
+distributed.barrier()
+
+resumed = build_agent()  # fresh (different) init
+loaded = np.load(ckpt_path)
+resumed.load_state_dict({
+    "agent_state": {k[len("s::"):]: loaded[k] for k in loaded.files},
+    "iteration": 3,
+})
+broadcast_agent_state(resumed)  # no-op numerically; validates the path
+rollout = synth_rollout(resumed, seed=500 + 1000 * rank + 99)
+cross_process_update(resumed, key=jax.random.fold_in(jax.random.key(123), 99), rollout=rollout)
+w_after_resume = np.asarray(resumed.state.actor.backbone.layers[0].weight, np.float64)
+
+print("RESULT " + json.dumps({
+    "rank": rank,
+    "w3": w_after_3.tolist(),
+    "wr": w_after_resume.tolist(),
+}))
+"""
+
+_TRAIN_ORACLE = _TRAIN_COMMON + r"""
+# Single process: same agent, rollouts of BOTH ranks concatenated on the env
+# axis — the DDP-equivalence oracle.
+agent = build_agent()
+
+def concat_rollouts(a, b):
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=1), a, b)
+
+update_jit = jax.jit(agent.update_body)
+for it in range(3):
+    r0 = synth_rollout(agent, seed=500 + 0 + it)
+    r1 = synth_rollout(agent, seed=500 + 1000 + it)
+    rollout = concat_rollouts(r0, r1)
+    state, metrics = update_jit(agent.state, rollout, jax.random.fold_in(jax.random.key(123), it), None)
+    agent.state = state
+    agent.finish_update()
+
+w_after_3 = np.asarray(agent.state.actor.backbone.layers[0].weight, np.float64)
+r0 = synth_rollout(agent, seed=500 + 0 + 99)
+r1 = synth_rollout(agent, seed=500 + 1000 + 99)
+state, _ = update_jit(agent.state, concat_rollouts(r0, r1), jax.random.fold_in(jax.random.key(123), 99), None)
+agent.state = state
+w_after_resume = np.asarray(agent.state.actor.backbone.layers[0].weight, np.float64)
+print("RESULT " + json.dumps({"w3": w_after_3.tolist(), "wr": w_after_resume.tolist()}))
+"""
+
+
+def test_cross_process_training_matches_single_process(tmp_path):
+    import numpy as np
+
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "REPO_ROOT": os.getcwd(),
+        "TEST_TMP": str(tmp_path),
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = []
+    for rank in range(2):
+        env = {**env_base, "JAX_PROCESS_ID": str(rank)}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _TRAIN_WORKER], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    results = {}
+    for rank, proc in enumerate(procs):
+        out, err = proc.communicate(timeout=420)
+        assert proc.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        results[rank] = json.loads(line[len("RESULT "):])
+
+    oracle_env = {k: v for k, v in env_base.items() if not k.startswith("JAX_")}
+    oracle_env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", _TRAIN_ORACLE], env=oracle_env,
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, f"oracle failed:\n{proc.stderr[-3000:]}"
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    oracle = json.loads(line[len("RESULT "):])
+
+    w0, w1 = np.array(results[0]["w3"]), np.array(results[1]["w3"])
+    np.testing.assert_array_equal(w0, w1)  # ranks agree bit-for-bit
+    np.testing.assert_allclose(w0, np.array(oracle["w3"]), atol=2e-5)  # DDP == 1-proc
+
+    r0, r1 = np.array(results[0]["wr"]), np.array(results[1]["wr"])
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_allclose(r0, np.array(oracle["wr"]), atol=2e-5)
