@@ -17,6 +17,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NORTH_STAR_STEPS_PER_S = 10_000_000.0
 
 
+def run_trainer_mode(num_envs: int, steps_per_update: int, warmup_iters: int, timed_iters: int) -> None:
+    import jax
+
+    from cusrl_tpu.zoo.registry import get_experiment
+
+    spec = get_experiment("Velocity-Rough", "ppo")
+    factory = spec.to_training_factory()
+    factory.environment_kwargs = {"num_instances": num_envs}
+    factory.num_iterations = 10 * (warmup_iters + timed_iters)
+    factory.iterations_per_dispatch = int(os.environ.get("BENCH_CHUNK", factory.iterations_per_dispatch))
+    # Same documented TPU perf knobs as the raw-driver bench.
+    factory.agent.defer_normalization_updates = True
+    factory.agent.store_original_observations = False
+    factory.agent.fuse_actor_critic_evaluation = os.environ.get("BENCH_FUSE", "1") == "1"
+    trainer = factory(verbose=False)
+
+    def run(n):
+        for _ in range(n):
+            trainer._rollout_and_update_scan()
+
+    def barrier():
+        driver = trainer._scan_driver
+        jax.block_until_ready(driver._packed if driver._packed is not None else trainer.agent.state)
+
+    run(max(warmup_iters, factory.iterations_per_dispatch))
+    barrier()
+    start = time.perf_counter()
+    run(timed_iters)
+    barrier()
+    elapsed = time.perf_counter() - start
+    steps_per_s = timed_iters * steps_per_update * num_envs / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_locomotion_env_steps_per_s_trainer",
+                "value": round(steps_per_s, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(steps_per_s / NORTH_STAR_STEPS_PER_S, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
 
@@ -38,6 +81,13 @@ def main() -> None:
     # also a Trainer knob).  Amortizes the per-dispatch host overhead.
     chunk = max(1, int(os.environ.get("BENCH_CHUNK", 1)))
 
+    if os.environ.get("BENCH_TRAINER", "0") == "1":
+        # Trainer-driven variant (validates the zoo's iterations_per_dispatch
+        # chunking end-to-end; VERDICT r2 item 8 asks this within 2% of the
+        # raw-driver number).
+        run_trainer_mode(num_envs, steps_per_update, warmup_iters, timed_iters)
+        return
+
     env = VelocityLocomotionEnv(num_instances=num_envs)
     factory = cusrl_tpu.PpoAgentFactory(
         num_steps_per_update=steps_per_update,
@@ -55,6 +105,9 @@ def main() -> None:
         # Evaluate actor+critic backbones as one stacked matmul chain in the
         # update (gradient-equivalent; tests/test_joint_eval.py).
         fuse_actor_critic_evaluation=os.environ.get("BENCH_FUSE", "1") == "1",
+        # Whole-objective mega-kernel (FusedPpoUpdate).  Default off: measured
+        # slower than the pair kernel + XLA tail on v5e (docs/ROADMAP.md).
+        fused_ppo_update=os.environ.get("BENCH_FUSED_STEP", "0") == "1",
     )
     agent = factory(env.spec)
     if len(jax.devices()) > 1:

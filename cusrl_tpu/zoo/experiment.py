@@ -109,6 +109,10 @@ class ExperimentSpec:
     player_factory: Callable = Player
     num_iterations: int = 1000
     checkpoint_interval: int = 50
+    # Fused multi-iteration dispatch (Trainer): >1 pays the tunnel's metric
+    # fetch once per chunk instead of per iteration.  The JAX-native TPU
+    # experiments set 10; host-loop (gym) environments must keep 1.
+    iterations_per_dispatch: int = 1
 
     @property
     def experiment_name(self) -> str:
@@ -125,6 +129,7 @@ class ExperimentSpec:
             num_iterations=self.num_iterations,
             checkpoint_interval=self.checkpoint_interval,
             trainer_hooks=self.trainer_hooks,
+            iterations_per_dispatch=self.iterations_per_dispatch,
         )
 
     def to_playing_factory(self) -> PlayingExperimentFactory:

@@ -32,6 +32,7 @@ register_experiment(
     benchmarking_env_factory_kwargs={"num_instances": 64},
     num_iterations=300,
     checkpoint_interval=50,
+    iterations_per_dispatch=10,
 )
 
 register_experiment(
@@ -56,6 +57,7 @@ register_experiment(
     benchmarking_env_factory_kwargs={"num_instances": 64},
     num_iterations=1500,
     checkpoint_interval=200,
+    iterations_per_dispatch=10,
 )
 
 register_experiment(
@@ -80,6 +82,7 @@ register_experiment(
     benchmarking_env_factory_kwargs={"num_instances": 64},
     num_iterations=300,
     checkpoint_interval=50,
+    iterations_per_dispatch=10,
 )
 
 # On-device AMP (counterpart of the reference's humanoid AMP suite,

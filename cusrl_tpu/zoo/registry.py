@@ -67,6 +67,7 @@ def register_experiment(
     player_factory: Callable | None = None,
     num_iterations: int = 1000,
     checkpoint_interval: int = 50,
+    iterations_per_dispatch: int = 1,
 ) -> None:
     from cusrl_tpu.template.player import Player
 
@@ -88,6 +89,7 @@ def register_experiment(
             player_factory=player_factory or Player,
             num_iterations=num_iterations,
             checkpoint_interval=checkpoint_interval,
+            iterations_per_dispatch=iterations_per_dispatch,
         )
         if spec.experiment_name in registry:
             raise ValueError(f"Experiment '{spec.experiment_name}' is already registered")

@@ -65,7 +65,9 @@ class ConsistencyHook(Hook):
         return self, batch, None, {"consistency_max_diff": max_diff}
 
 
-def assert_module_consistency(backbone_factory, atol: float = 1e-4, with_state: bool = False, steps: int = 16):
+def assert_module_consistency(
+    backbone_factory, atol: float = 1e-4, with_state: bool = False, steps: int = 16, observation_dim: int = 8
+):
     """Builds a PPO agent around the given backbone and checks rollout-vs-batch
     consistency after one update."""
     from cusrl_tpu.nn.module.actor import ActorFactory
@@ -76,7 +78,7 @@ def assert_module_consistency(backbone_factory, atol: float = 1e-4, with_state: 
     from cusrl_tpu.sampler import AutoMiniBatchSampler
     from cusrl_tpu.template.actor_critic import ActorCriticFactory
 
-    env = create_dummy_env(with_state=with_state)
+    env = create_dummy_env(with_state=with_state, observation_dim=observation_dim)
     hooks = ppo_hook_suite()
     # Insert the consistency probe right after on_policy_preparation.
     factory = ActorCriticFactory(
