@@ -25,6 +25,9 @@ def run_trainer_mode(num_envs: int, steps_per_update: int, warmup_iters: int, ti
     spec = get_experiment("Velocity-Rough", "ppo")
     factory = spec.to_training_factory()
     factory.environment_kwargs = {"num_instances": num_envs}
+    # Chunk prefetching blurs the warmup/timed boundary by up to one chunk of
+    # device work; a longer timed window bounds that to a few percent.
+    timed_iters = max(timed_iters, 100)
     factory.num_iterations = 10 * (warmup_iters + timed_iters)
     factory.iterations_per_dispatch = int(os.environ.get("BENCH_CHUNK", factory.iterations_per_dispatch))
     # Same documented TPU perf knobs as the raw-driver bench.

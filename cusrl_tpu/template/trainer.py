@@ -163,6 +163,8 @@ class Trainer:
         self.iterations_per_dispatch = max(1, int(iterations_per_dispatch))
         self._pending_rows: list[np.ndarray] = []
         self._pending_keys: tuple[str, ...] = ()
+        self._inflight_chunk = None
+        self._last_chunk_done: float | None = None
 
         if checkpoint is not None:
             self.load_checkpoint(checkpoint)
@@ -312,22 +314,46 @@ class Trainer:
         self.agent.record(dict(zip(keys, values[3:])))
         return self.agent.finish_update()
 
+    def _dispatch_chunk(self):
+        """Queues one fused multi-iteration dispatch (async); returns device
+        values + metadata.  Chunks clamp to checkpoint boundaries and the end
+        of training."""
+        logical = self.agent.iteration
+        boundary = self.checkpoint_interval - (logical % self.checkpoint_interval)
+        chunk = max(1, min(self.iterations_per_dispatch, self.num_iterations - logical, boundary))
+        aggregates, stacked, keys = self._scan_driver.collect_and_update_many(
+            self.agent.num_steps_per_update, chunk
+        )
+        values_dev = jnp.concatenate([jnp.asarray(aggregates, jnp.float32), stacked], axis=1)
+        return values_dev, keys, chunk, logical + chunk
+
     def _rollout_and_update_scan_chunked(self) -> dict[str, float]:
         """K iterations per jitted dispatch + host transfer.  Each call still
         returns ONE iteration's metrics (the run loop's cadence is unchanged);
         device work and transfers happen on the first call of each chunk."""
         if not self._pending_rows:
-            logical = self.agent.iteration
-            boundary = self.checkpoint_interval - (logical % self.checkpoint_interval)
-            chunk = max(1, min(self.iterations_per_dispatch, self.num_iterations - logical, boundary))
             start = time.perf_counter()
-            aggregates, stacked, keys = self._scan_driver.collect_and_update_many(
-                self.agent.num_steps_per_update, chunk
-            )
-            values = np.asarray(jnp.concatenate([jnp.asarray(aggregates, jnp.float32), stacked], axis=1))
-            # Amortize the chunk's wall time over its iterations so Perf/*
-            # metrics stay per-iteration meaningful.
-            self._chunk_iter_time = (time.perf_counter() - start) / chunk
+            inflight = self._inflight_chunk or self._dispatch_chunk()
+            self._inflight_chunk = None
+            values_dev, keys, chunk, end = inflight
+            # Pipeline: dispatch the NEXT chunk before blocking on this one's
+            # transfer — over the axon tunnel the blocking fetch costs a ~25 ms
+            # round trip that would otherwise serialize chunks (measured: 7.25M
+            # vs 9.0M steps/s un-pipelined).  Never prefetch across a
+            # checkpoint boundary or the end of training: agent.state reads at
+            # those points must not observe future iterations.
+            if end % self.checkpoint_interval != 0 and end < self.num_iterations:
+                self._inflight_chunk = self._dispatch_chunk()
+            values = np.asarray(values_dev)
+            # Amortize wall time over the chunk's iterations so Perf/* metrics
+            # stay per-iteration meaningful; in the pipelined steady state the
+            # span between refills is the true per-chunk cost.
+            now = time.perf_counter()
+            if self._last_chunk_done is not None:
+                self._chunk_iter_time = (now - self._last_chunk_done) / chunk
+            else:
+                self._chunk_iter_time = (now - start) / chunk
+            self._last_chunk_done = now
             self._pending_rows = [values[i] for i in range(values.shape[0])]
             self._pending_keys = keys
         self.timer.add("agent", self._chunk_iter_time)
