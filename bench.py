@@ -111,6 +111,11 @@ def main() -> None:
         # Whole-objective mega-kernel (FusedPpoUpdate).  Default off: measured
         # slower than the pair kernel + XLA tail on v5e (docs/ROADMAP.md).
         fused_ppo_update=os.environ.get("BENCH_FUSED_STEP", "0") == "1",
+        # Bootstrap-value pass only over truncated rows.  Default OFF: the
+        # 4096-random-row gather measured SLOWER than the full contiguous
+        # [T*N] pass it replaces (8.35M vs 8.97M steps/s) — random-row HBM
+        # gathers lose to sequential streaming even at 1/24 the rows.
+        sparse_value_bootstrap=os.environ.get("BENCH_SPARSE_BOOT", "0") == "1",
     )
     agent = factory(env.spec)
     if len(jax.devices()) > 1:

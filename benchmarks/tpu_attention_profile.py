@@ -1,0 +1,162 @@
+"""Decompose the transformer PPO iteration cost (185 ms/iter in round 2):
+full fused iteration vs update-only vs objective-only vs temporal gather.
+
+Shapes: 4096 envs x 24 steps, embed 128, 4 heads, window 16, MLP (128,) tail,
+5 epochs x 4 temporal minibatches (1024 columns each).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def timeit(fn, *args, warmup=2, iters=10):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) * 1e3 / iters, compile_s
+
+
+def main():
+    import cusrl_tpu
+    from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+    from cusrl_tpu.template.rollout import ScanRolloutDriver
+
+    emit(devices=[str(d) for d in jax.devices()])
+    num_envs, T = 4096, 24
+    env = VelocityLocomotionEnv(num_instances=num_envs)
+    factory = cusrl_tpu.TransformerPpoAgentFactory(
+        num_steps_per_update=T,
+        embed_dim=128,
+        num_heads=4,
+        attention_window=16,
+        mlp_hidden_dims=(128,),
+        activation_fn="elu",
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        defer_normalization_updates=True,
+        store_original_observations=False,
+        desired_kl_divergence=0.01,
+    )
+    agent = factory(env.spec)
+    driver = ScanRolloutDriver(agent, env)
+
+    # -- A. full fused iteration ---------------------------------------------
+    def full_iter(n=1):
+        for _ in range(n):
+            driver.collect_and_update(T)
+        return driver._packed if driver._packed is not None else agent.state
+
+    ms, cs = timeit(full_iter, warmup=2, iters=10)
+    emit(probe="full_iteration", ms=round(ms, 2), compile_s=round(cs, 1))
+
+    # -- B. update-only on a synthetic rollout --------------------------------
+    state = agent.state
+    obs_dim, act_dim = env.spec.observation_dim, env.spec.action_dim
+    keys = jax.random.split(jax.random.key(0), 8)
+    obs = jax.random.normal(keys[0], (T, num_envs, obs_dim), jnp.float32)
+    nxt = jax.random.normal(keys[1], (T, num_envs, obs_dim), jnp.float32)
+    action = jax.random.normal(keys[2], (T, num_envs, act_dim), jnp.float32)
+    reward = jax.random.normal(keys[3], (T, num_envs, 1), jnp.float32)
+    done = jax.random.bernoulli(keys[4], 0.02, (T, num_envs, 1))
+    memory0 = state.actor.init_memory(num_envs)
+    memory_stack = jax.tree.map(lambda m: jnp.broadcast_to(m[None], (T,) + m.shape), memory0)
+    dist, _, _ = state.actor(obs.reshape(T * num_envs, obs_dim))
+    dist = jax.tree.map(lambda x: x.reshape(T, num_envs, -1), dist)
+    rollout = {
+        "observation": obs,
+        "next_observation": nxt,
+        "action": action,
+        "action_dist": dist,
+        "action_logp": state.actor.compute_logp(dist, action),
+        "reward": reward,
+        "terminated": done,
+        "truncated": jnp.zeros_like(done),
+        "done": done,
+        "actor_memory": memory_stack,
+    }
+    update_jit = jax.jit(agent.update_body)
+    ms, cs = timeit(lambda: update_jit(state, rollout, jax.random.key(1), None), warmup=2, iters=10)
+    emit(probe="update_only", ms=round(ms, 2), compile_s=round(cs, 1))
+
+    # -- C. objective fwd+bwd for ONE temporal minibatch x 20 -----------------
+    from cusrl_tpu.nn.base import combine, partition
+    from cusrl_tpu.template.actor_critic import params_view, state_with_view
+    from cusrl_tpu.template.hook import HookComposite
+
+    cols = num_envs // 4
+    batch = jax.tree.map(lambda x: x[:, :cols] if hasattr(x, "ndim") and x.ndim >= 2 else x, rollout)
+    batch = dict(batch)
+    batch["advantage"] = jax.random.normal(keys[5], (T, cols, 1), jnp.float32)
+    batch["return"] = jax.random.normal(keys[6], (T, cols, 1), jnp.float32)
+    batch["value"] = jax.random.normal(keys[7], (T, cols, 1), jnp.float32)
+    metadata = {
+        "temporal": True,
+        "epoch_index": 0,
+        "mini_batch_index": 0,
+        "total_epochs": 5,
+        "total_mini_batches": 4,
+    }
+    composite = HookComposite()
+
+    def one_obj(st):
+        params, rest = partition(params_view(st))
+
+        def loss_fn(p):
+            s = state_with_view(st, combine(p, rest))
+            _, _, objectives, _ = composite.objective(s, metadata, dict(batch))
+            return sum(jnp.asarray(v, jnp.float32) for v in objectives.values())
+
+        return jax.grad(loss_fn)(params)
+
+    def twenty(st):
+        def body(carry, _):
+            g = one_obj(st)
+            return carry, jax.tree.leaves(g)[0][0, 0]
+
+        return jax.lax.scan(body, 0.0, None, length=20)
+
+    f = jax.jit(twenty)
+    ms, cs = timeit(lambda: f(state), warmup=2, iters=5)
+    emit(probe="objective_x20", ms=round(ms, 2), compile_s=round(cs, 1))
+
+    # -- D. temporal gather x 20 ----------------------------------------------
+    perm = jax.random.permutation(jax.random.key(3), num_envs)
+
+    def gathers(rollout):
+        def body(carry, i):
+            idx = jax.lax.dynamic_slice_in_dim(perm, 0, cols, 0)
+            b = jax.tree.map(lambda x: x[:, idx] if hasattr(x, "ndim") and x.ndim >= 2 else x, rollout)
+            return carry + jax.tree.leaves(b)[0][0, 0, 0], None
+
+        return jax.lax.scan(body, 0.0, jnp.arange(20))[0]
+
+    g = jax.jit(gathers)
+    ms, cs = timeit(lambda: g(rollout), warmup=2, iters=10)
+    emit(probe="temporal_gather_x20", ms=round(ms, 2), compile_s=round(cs, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,14 @@ class ValueComputation(Hook):
     memory: Memory = frozen_field(default=None)
     bootstrap_truncated_states: bool = static_field(default=True)
     deferred: bool | None = static_field(default=None)
+    # TPU perf knob (deferred mode): bootstrap values are CONSUMED only at
+    # truncated rows and the final step, so instead of a second full [T*N]
+    # critic pass, gather the (at most N, when episodes span the window)
+    # truncated next-states, run one [N]-row pass, and scatter back.  An
+    # in-jit overflow check falls back to the full pass when more than N rows
+    # truncate (short episodes), so the math is ALWAYS identical to the full
+    # pass (tests/test_value_sparse_bootstrap.py).
+    sparse_bootstrap: bool = static_field(default=False)
 
     def init(self, agent, key):
         hook = self
@@ -85,23 +93,27 @@ class ValueComputation(Hook):
             return v.reshape(t, n, -1)
 
         bootstrap = None
+        sparse = None
         if self.deferred:
             observation = get_first(rollout, "state", "observation")
             if self.bootstrap_truncated_states:
-                # Two T·N critic passes (obs, next_obs).  Concatenating into
-                # one 2·T·N pass forces a whole-rollout copy first (the scan
-                # emits time-minor layouts that the concat must normalize);
-                # separate passes read each stack in place and only pay one
-                # extra kernel pipeline ramp.
                 rollout = {**rollout, "value": eval_batched(observation, None)}
-                bootstrap = eval_batched(next_state, None)
+                if self.sparse_bootstrap:
+                    sparse = self._compute_sparse_bootstrap(critic, next_state, truncated)
+                else:
+                    # Two T·N critic passes (obs, next_obs).  Concatenating
+                    # into one 2·T·N pass forces a whole-rollout copy first
+                    # (the scan emits time-minor layouts that the concat must
+                    # normalize); separate passes read each stack in place and
+                    # only pay one extra kernel pipeline ramp.
+                    bootstrap = eval_batched(next_state, None)
             else:
                 rollout = {**rollout, "value": eval_batched(observation, None)}
         value = rollout["value"]  # [T, N, Dr]
 
         next_memory = rollout.get("next_critic_memory")
         if self.bootstrap_truncated_states:
-            if bootstrap is None:
+            if bootstrap is None and sparse is None:
                 bootstrap = eval_batched(next_state, next_memory)
         else:
             last_memory = None if next_memory is None else jax.tree.map(lambda m: m[-1], next_memory)
@@ -109,7 +121,11 @@ class ValueComputation(Hook):
             bootstrap = None
 
         # next_value[t] = value[t + 1]; last row bootstrapped from next_state.
-        if bootstrap is None:
+        if sparse is not None:
+            sparse_boot, last_vals = sparse
+            next_value = jnp.concatenate([value[1:], last_vals[None]], axis=0)
+            next_value = jnp.where(truncated, sparse_boot, next_value)
+        elif bootstrap is None:
             next_value = jnp.concatenate([value[1:], last_value[None]], axis=0)
         else:
             next_value = jnp.concatenate([value[1:], bootstrap[-1:]], axis=0)
@@ -120,6 +136,36 @@ class ValueComputation(Hook):
 
         rollout = {**rollout, "next_value": next_value}
         return self, rollout, {}
+
+    @staticmethod
+    def _compute_sparse_bootstrap(critic, next_state, truncated):
+        """Bootstrap values via a capacity-N gather of truncated rows (plus the
+        final step), with an in-jit fallback to the full pass on overflow.
+
+        Per-row math is identical to the full pass: the critic is a pure
+        per-row function, so evaluating the gathered subset produces the same
+        values the full [T*N] evaluation would at those rows."""
+        t, n = next_state.shape[:2]
+        flat_states = next_state.reshape(t * n, *next_state.shape[2:])
+        flat_trunc = truncated.reshape(t * n)
+        capacity = n
+        idx = jnp.nonzero(flat_trunc, size=capacity, fill_value=t * n)[0]
+        overflow = jnp.sum(flat_trunc) > capacity
+        rows = flat_states[jnp.minimum(idx, t * n - 1)]
+        vals, _, _ = critic(rows)  # [capacity, Dr]
+        dr = vals.shape[-1]
+
+        def sparse_path(_):
+            boot = jnp.zeros((t * n, dr), vals.dtype).at[idx].set(vals, mode="drop")
+            return boot.reshape(t, n, dr)
+
+        def full_path(_):
+            v, _, _ = critic(flat_states)
+            return v.reshape(t, n, dr)
+
+        boot = jax.lax.cond(overflow, full_path, sparse_path, None)
+        last_vals, _, _ = critic(next_state[-1])
+        return boot, last_vals
 
 
 def _clipped_value_loss(value, curr_value, returns, loss_clip):

@@ -601,8 +601,14 @@ def _pair_op(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block
 
 def _pair_op_fwd(xa, xc, wsa, bsa, wsc, bsc, activation, trailing, use_pallas, block_rows, block_rows_bwd, interpret, skip_input_grad):
     if use_pallas:
+        # The saved-activation forward can run at ITS optimal (larger) tile
+        # whenever the row count divides it — the backward re-tiles the saved
+        # [n, d] arrays at its own block freely.  Only when padding would occur
+        # must the two agree (the pad rows live in the saved arrays).
+        bwd_tile = block_rows_bwd or block_rows
+        fwd_tile = block_rows if xa.shape[0] % block_rows == 0 else bwd_tile
         out_a, out_c, ha, hc = _pair_run_fwd(
-            xa, xc, wsa, bsa, wsc, bsc, activation, trailing, block_rows_bwd or block_rows, interpret
+            xa, xc, wsa, bsa, wsc, bsc, activation, trailing, fwd_tile, interpret
         )
         return (out_a, out_c), (xa, xc, wsa, wsc, None, None, ha, hc, out_a, out_c)
     outs = _pair_op(

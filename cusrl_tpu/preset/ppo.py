@@ -40,6 +40,7 @@ def ppo_hook_suite(
     normalize_observation: bool = False,
     defer_normalization_updates: bool = False,
     store_original_observations: bool = True,
+    sparse_value_bootstrap: bool = False,
     gae_gamma: float = 0.99,
     gae_lamda: float = 0.95,
     gae_lamda_value: float | None = None,
@@ -86,7 +87,7 @@ def ppo_hook_suite(
             if normalize_observation
             else None
         ),
-        ValueComputation(),
+        ValueComputation(sparse_bootstrap=sparse_value_bootstrap),
         GeneralizedAdvantageEstimation(gamma=gae_gamma, lamda=gae_lamda, lamda_value=gae_lamda_value),
         AdvantageNormalization() if normalize_advantage else None,
         *objective_span,
@@ -126,6 +127,9 @@ class PpoAgentFactory(AgentFactory):
     normalize_observation: bool = False
     defer_normalization_updates: bool = False
     store_original_observations: bool = True
+    # TPU perf knob: bootstrap-value pass only over truncated rows (exact; see
+    # ValueComputation.sparse_bootstrap).
+    sparse_value_bootstrap: bool = False
     gae_gamma: float = 0.99
     gae_lamda: float = 0.95
     gae_lamda_value: float | None = None
@@ -157,6 +161,7 @@ class PpoAgentFactory(AgentFactory):
             normalize_observation=self.normalize_observation,
             defer_normalization_updates=self.defer_normalization_updates,
             store_original_observations=self.store_original_observations,
+            sparse_value_bootstrap=self.sparse_value_bootstrap,
             gae_gamma=self.gae_gamma,
             gae_lamda=self.gae_lamda,
             gae_lamda_value=self.gae_lamda_value,
