@@ -83,6 +83,10 @@ def main():
     done = jax.random.bernoulli(keys[4], 0.02, (T, num_envs, 1))
     memory0 = state.actor.init_memory(num_envs)
     memory_stack = jax.tree.map(lambda m: jnp.broadcast_to(m[None], (T,) + m.shape), memory0)
+    cmem0 = state.critic.init_memory(num_envs)
+    cmem_stack = None if cmem0 is None else jax.tree.map(
+        lambda m: jnp.broadcast_to(m[None], (T,) + m.shape), cmem0
+    )
     dist, _, _ = state.actor(obs.reshape(T * num_envs, obs_dim))
     dist = jax.tree.map(lambda x: x.reshape(T, num_envs, -1), dist)
     rollout = {
@@ -97,6 +101,13 @@ def main():
         "done": done,
         "actor_memory": memory_stack,
     }
+    if cmem_stack is not None:
+        # Recurrent critic: value recorded during rollout + memory stacks.
+        flat_v, _, _ = state.critic(obs.reshape(T * num_envs, obs_dim), jax.tree.map(
+            lambda m: jnp.broadcast_to(m[None], (T,) + m.shape).reshape((T * num_envs,) + m.shape[1:]), cmem0))
+        rollout["value"] = flat_v.reshape(T, num_envs, -1)
+        rollout["critic_memory"] = cmem_stack
+        rollout["next_critic_memory"] = cmem_stack
     update_jit = jax.jit(agent.update_body)
     ms, cs = timeit(lambda: update_jit(state, rollout, jax.random.key(1), None), warmup=2, iters=10)
     emit(probe="update_only", ms=round(ms, 2), compile_s=round(cs, 1))
@@ -110,6 +121,8 @@ def main():
     batch = jax.tree.map(lambda x: x[:, :cols] if hasattr(x, "ndim") and x.ndim >= 2 else x, rollout)
     batch = dict(batch)
     batch["advantage"] = jax.random.normal(keys[5], (T, cols, 1), jnp.float32)
+    if "value" not in batch and cmem_stack is not None:
+        batch["value"] = jax.random.normal(keys[7], (T, cols, 1), jnp.float32)
     batch["return"] = jax.random.normal(keys[6], (T, cols, 1), jnp.float32)
     batch["value"] = jax.random.normal(keys[7], (T, cols, 1), jnp.float32)
     metadata = {

@@ -8,10 +8,10 @@ single ``lax.scan``; gathering happens on device with zero host round-trips.
 ``TemporalMiniBatchSampler`` shuffled whole sequences (columns ``[:, idx]``) for BPTT.
 ``AutoMiniBatchSampler``     dispatches on whether any rollout key ends in "memory".
 
-Deviation from the reference: per-epoch varying mini-batch counts (a sequence for
-``num_mini_batches``) are not supported — XLA wants one static batch shape; the
-remainder ``total % num_mini_batches`` transitions are dropped per epoch (the
-reference drops them too when the division is uneven).
+Per-epoch varying mini-batch counts (a sequence for ``num_mini_batches``,
+reference parity) compile one scan body per contiguous run of equal counts —
+XLA wants static batch shapes.  The remainder ``total % count`` transitions are
+dropped per epoch (the reference drops them too when the division is uneven).
 """
 
 from __future__ import annotations
@@ -27,7 +27,9 @@ __all__ = ["AutoMiniBatchSampler", "MiniBatchSampler", "TemporalMiniBatchSampler
 @dataclasses.dataclass
 class MiniBatchSampler:
     num_epochs: int = 1
-    num_mini_batches: int = 1
+    # int, or one count per epoch (reference parity); varying counts compile
+    # one scan body per contiguous run of equal counts.
+    num_mini_batches: int | tuple = 1
     shuffle: bool = True
     # Shuffle granularity for the epoch plan.  "auto" permutes 128-row tiles
     # when the rollout divides evenly (contiguous 128-row blocks are one DMA
@@ -43,14 +45,43 @@ class MiniBatchSampler:
     def __post_init__(self):
         if self.num_epochs <= 0:
             raise ValueError("'num_epochs' must be positive")
-        if self.num_mini_batches <= 0:
-            raise ValueError("'num_mini_batches' must be positive")
+        if isinstance(self.num_mini_batches, int):
+            if self.num_mini_batches <= 0:
+                raise ValueError("'num_mini_batches' must be positive")
+        else:
+            # Reference behavior (cusrl/sampler/mini_batch_sampler.py:12-92):
+            # one count per epoch.  XLA wants static batch shapes, so the
+            # update runs one compiled scan per contiguous run of equal counts
+            # (see epoch_segments / ActorCritic.update_body).
+            self.num_mini_batches = tuple(self.num_mini_batches)
+            if len(self.num_mini_batches) != self.num_epochs:
+                raise ValueError(
+                    "'num_mini_batches' must be an integer or a sequence with one value per "
+                    f"epoch ({self.num_epochs}); got {len(self.num_mini_batches)} values"
+                )
+            if any(value <= 0 for value in self.num_mini_batches):
+                raise ValueError("'num_mini_batches' values must be positive")
 
-    def _resolve_block(self, total: int, batch_size: int) -> int:
+    def epoch_segments(self) -> list[tuple[int, int, int]]:
+        """Contiguous (epoch_start, num_epochs, num_mini_batches) runs."""
+        if isinstance(self.num_mini_batches, int):
+            return [(0, self.num_epochs, self.num_mini_batches)]
+        segments: list[tuple[int, int, int]] = []
+        for epoch, count in enumerate(self.num_mini_batches):
+            if segments and segments[-1][2] == count:
+                start, length, _ = segments[-1]
+                segments[-1] = (start, length + 1, count)
+            else:
+                segments.append((epoch, 1, count))
+        return segments
+
+    def _resolve_block(self, total: int, batch_size: int, count: int | None = None) -> int:
+        if count is None:
+            count = max(self.num_mini_batches) if isinstance(self.num_mini_batches, tuple) else self.num_mini_batches
         block = self.shuffle_block_size
         if block == "auto":
             block = 128
-            if total % block != 0 or batch_size % block != 0 or total // block < self.num_mini_batches:
+            if total % block != 0 or batch_size % block != 0 or total // block < count:
                 return 1
             return block
         block = int(block)
@@ -71,28 +102,33 @@ class MiniBatchSampler:
 
     def make_plan(self, key: jax.Array, capacity: int, parallelism: int, rollout: dict):
         num_samples = self._num_samples(capacity, parallelism)
-        if self.num_mini_batches > num_samples:
-            raise ValueError(f"'num_mini_batches' ({self.num_mini_batches}) exceeds sample count ({num_samples})")
-        batch_size = num_samples // self.num_mini_batches
-
-        def epoch_indices(epoch_key):
-            if self.shuffle:
-                perm = jax.random.permutation(epoch_key, num_samples)
-            else:
-                perm = jnp.arange(num_samples)
-            return perm[: self.num_mini_batches * batch_size].reshape(self.num_mini_batches, batch_size)
-
         keys = jax.random.split(key, self.num_epochs)
-        indices = jnp.concatenate([epoch_indices(k) for k in keys], axis=0)  # [E*M, B]
-        epoch_index = jnp.repeat(jnp.arange(self.num_epochs), self.num_mini_batches)
-        mini_batch_index = jnp.tile(jnp.arange(self.num_mini_batches), self.num_epochs)
-        static_meta = {
-            "total_epochs": self.num_epochs,
-            "total_mini_batches": self.num_mini_batches,
-            "temporal": self._temporal(),
-        }
-        meta_arrays = {"epoch_index": epoch_index, "mini_batch_index": mini_batch_index}
-        return static_meta, meta_arrays, indices
+        plans = []
+        for epoch_start, num_epochs, count in self.epoch_segments():
+            if count > num_samples:
+                raise ValueError(f"'num_mini_batches' ({count}) exceeds sample count ({num_samples})")
+            batch_size = num_samples // count
+
+            def epoch_indices(epoch_key):
+                if self.shuffle:
+                    perm = jax.random.permutation(epoch_key, num_samples)
+                else:
+                    perm = jnp.arange(num_samples)
+                return perm[: count * batch_size].reshape(count, batch_size)
+
+            indices = jnp.concatenate(
+                [epoch_indices(keys[e]) for e in range(epoch_start, epoch_start + num_epochs)], axis=0
+            )  # [Eseg*M, B]
+            epoch_index = jnp.repeat(jnp.arange(epoch_start, epoch_start + num_epochs), count)
+            mini_batch_index = jnp.tile(jnp.arange(count), num_epochs)
+            static_meta = {
+                "total_epochs": self.num_epochs,
+                "total_mini_batches": count,
+                "temporal": self._temporal(),
+            }
+            meta_arrays = {"epoch_index": epoch_index, "mini_batch_index": mini_batch_index}
+            plans.append((static_meta, meta_arrays, indices))
+        return plans[0] if len(plans) == 1 else plans
 
     # -- gather ----------------------------------------------------------------
 
@@ -107,25 +143,34 @@ class MiniBatchSampler:
     # identical to per-minibatch gathers from a per-epoch permutation.
 
     def make_epoch_plan(self, key: jax.Array, capacity: int, parallelism: int, rollout: dict):
-        """Returns (static_meta, epoch_perms [E, total], batch_size) or None if
-        this sampler variant has no slice-friendly plan."""
+        """Returns (static_meta, epoch_perms [E, total], batch_size), a LIST of
+        such plans (one per contiguous run of equal per-epoch minibatch
+        counts), or None if this sampler variant has no slice-friendly plan."""
         if self._temporal():
             return None
         total = capacity * parallelism
-        batch_size = total // self.num_mini_batches
-        block = self._resolve_block(total, batch_size)
-        num_units = total // block if block > 1 else total
-        if self.shuffle:
-            perms = jnp.stack([jax.random.permutation(k, num_units) for k in jax.random.split(key, self.num_epochs)])
-        else:
-            perms = jnp.tile(jnp.arange(num_units), (self.num_epochs, 1))
-        static_meta = {
-            "total_epochs": self.num_epochs,
-            "total_mini_batches": self.num_mini_batches,
-            "temporal": False,
-            "shuffle_block": block,
-        }
-        return static_meta, perms, batch_size
+        keys = jax.random.split(key, self.num_epochs)
+        plans = []
+        for epoch_start, num_epochs, count in self.epoch_segments():
+            batch_size = total // count
+            block = self._resolve_block(total, batch_size, count)
+            num_units = total // block if block > 1 else total
+            if self.shuffle:
+                perms = jnp.stack(
+                    [jax.random.permutation(keys[e], num_units) for e in range(epoch_start, epoch_start + num_epochs)]
+                )
+            else:
+                perms = jnp.tile(jnp.arange(num_units), (num_epochs, 1))
+            static_meta = {
+                "total_epochs": self.num_epochs,
+                "total_mini_batches": count,
+                "temporal": False,
+                "shuffle_block": block,
+                "epoch_start": epoch_start,
+                "segment_epochs": num_epochs,
+            }
+            plans.append((static_meta, perms, batch_size))
+        return plans[0] if len(plans) == 1 else plans
 
 
 @dataclasses.dataclass

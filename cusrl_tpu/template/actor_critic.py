@@ -367,10 +367,11 @@ class ActorCritic(Agent):
             epoch_plan = self.sampler.make_epoch_plan(key, capacity, parallelism, rollout)
 
         if epoch_plan is not None:
-            static_meta, epoch_perms, batch_size = epoch_plan
-            num_mb = static_meta["total_mini_batches"]
-            block = static_meta.get("shuffle_block", 1)
-            flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rollout)
+            # A list of plans = contiguous epoch segments with differing
+            # minibatch counts (reference's per-epoch `num_mini_batches`
+            # sequence); each segment is its own compiled scan.
+            plans = epoch_plan if isinstance(epoch_plan, list) else [epoch_plan]
+            flat_full = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rollout)
 
             # Restrict the shuffled/gathered fields to those the objective fold
             # actually reads (trace-time recording probe; hooks that enumerate
@@ -378,73 +379,95 @@ class ActorCritic(Agent):
             # ~2x more bytes than the update consumes (next_observation,
             # rewards, done flags only feed pre/post-update passes), so this
             # halves per-epoch HBM traffic.
-            needed = self._record_batch_keys(state, dict(static_meta), flat)
+            needed = self._record_batch_keys(state, dict(plans[0][0]), flat_full)
             if needed is not None:
-                flat = {k: v for k, v in flat.items() if k in needed}
+                flat_full = {k: v for k, v in flat_full.items() if k in needed}
 
-            use_tile_gather = block > 1 and batch_size % block == 0
-            if use_tile_gather:
-                tiles_per_mb = batch_size // block
-                tiled = jax.tree.map(lambda x: x.reshape((-1, block) + x.shape[1:]), flat)
-
-            def epoch_body(carry, xs):
-                epoch_index, perm = xs
+            seg_sums: dict[str, Any] = {}
+            seg_counts: dict[str, Any] = {}
+            for static_meta, epoch_perms, batch_size in plans:
+                flat = flat_full
+                num_mb = static_meta["total_mini_batches"]
+                block = static_meta.get("shuffle_block", 1)
+                use_tile_gather = block > 1 and batch_size % block == 0
                 if use_tile_gather:
-                    # Fused shuffle+slice: each minibatch gathers its own
-                    # contiguous-tile subset of the epoch permutation directly
-                    # from the rollout — no materialized shuffled copy.  Batch
-                    # contents are bit-identical to shuffle-then-slice.
+                    tiles_per_mb = batch_size // block
+                    tiled = jax.tree.map(lambda x: x.reshape((-1, block) + x.shape[1:]), flat)
+
+                def epoch_body(carry, xs, *, num_mb=num_mb, static_meta=static_meta, batch_size=batch_size,
+                               block=block, use_tile_gather=use_tile_gather,
+                               tiled=tiled if use_tile_gather else None,
+                               tiles_per_mb=tiles_per_mb if use_tile_gather else None, flat=flat):
+                    epoch_index, perm = xs
+                    if use_tile_gather:
+                        # Fused shuffle+slice: each minibatch gathers its own
+                        # contiguous-tile subset of the epoch permutation
+                        # directly from the rollout — no materialized shuffled
+                        # copy.  Bit-identical to shuffle-then-slice.
+                        def mb_body(inner_carry, mb_index):
+                            idx = jax.lax.dynamic_slice_in_dim(perm, mb_index * tiles_per_mb, tiles_per_mb, 0)
+                            batch = jax.tree.map(
+                                lambda x: x[idx].reshape((batch_size,) + x.shape[2:]), tiled
+                            )
+                            metadata = {**static_meta, "epoch_index": epoch_index, "mini_batch_index": mb_index}
+                            return train_step(inner_carry, metadata, batch)
+
+                        return jax.lax.scan(mb_body, carry, jnp.arange(num_mb))
+
+                    if block > 1:
+                        shuffled = jax.tree.map(
+                            lambda x: x.reshape((-1, block) + x.shape[1:])[perm].reshape(x.shape), flat
+                        )
+                    else:
+                        shuffled = jax.tree.map(lambda x: x[perm], flat)
+
                     def mb_body(inner_carry, mb_index):
-                        idx = jax.lax.dynamic_slice_in_dim(perm, mb_index * tiles_per_mb, tiles_per_mb, 0)
                         batch = jax.tree.map(
-                            lambda x: x[idx].reshape((batch_size,) + x.shape[2:]), tiled
+                            lambda x: jax.lax.dynamic_slice_in_dim(x, mb_index * batch_size, batch_size, 0),
+                            shuffled,
                         )
                         metadata = {**static_meta, "epoch_index": epoch_index, "mini_batch_index": mb_index}
                         return train_step(inner_carry, metadata, batch)
 
                     return jax.lax.scan(mb_body, carry, jnp.arange(num_mb))
 
-                if block > 1:
-                    shuffled = jax.tree.map(
-                        lambda x: x.reshape((-1, block) + x.shape[1:])[perm].reshape(x.shape), flat
-                    )
-                else:
-                    shuffled = jax.tree.map(lambda x: x[perm], flat)
-
-                def mb_body(inner_carry, mb_index):
-                    batch = jax.tree.map(
-                        lambda x: jax.lax.dynamic_slice_in_dim(x, mb_index * batch_size, batch_size, 0),
-                        shuffled,
-                    )
-                    metadata = {**static_meta, "epoch_index": epoch_index, "mini_batch_index": mb_index}
-                    return train_step(inner_carry, metadata, batch)
-
-                return jax.lax.scan(mb_body, carry, jnp.arange(num_mb))
-
-            num_epochs = static_meta["total_epochs"]
-            state, stacked = jax.lax.scan(epoch_body, state, (jnp.arange(num_epochs), epoch_perms))
-            metrics_steps = {k: jnp.mean(v) for k, v in stacked.items()}
+                num_epochs = static_meta.get("segment_epochs", static_meta["total_epochs"])
+                epoch_start = static_meta.get("epoch_start", 0)
+                state, stacked = jax.lax.scan(
+                    epoch_body, state, (jnp.arange(epoch_start, epoch_start + num_epochs), epoch_perms)
+                )
+                steps = num_epochs * num_mb
+                for k, v in stacked.items():
+                    seg_sums[k] = seg_sums.get(k, 0.0) + jnp.sum(v)
+                    seg_counts[k] = seg_counts.get(k, 0) + steps
+            metrics_steps = {k: seg_sums[k] / seg_counts[k] for k in seg_sums}
         else:
             import inspect
 
             if buffer_state is not None and "buffer_state" in inspect.signature(self.sampler.make_plan).parameters:
-                static_meta, meta_arrays, indices = self.sampler.make_plan(
-                    key, capacity, parallelism, rollout, buffer_state=buffer_state
-                )
+                plan = self.sampler.make_plan(key, capacity, parallelism, rollout, buffer_state=buffer_state)
             else:
-                static_meta, meta_arrays, indices = self.sampler.make_plan(key, capacity, parallelism, rollout)
+                plan = self.sampler.make_plan(key, capacity, parallelism, rollout)
 
-            def flat_step(carry, xs):
-                meta_i, idx = xs
-                metadata = {**static_meta, **meta_i}
-                batch = self.sampler.gather(rollout, idx)
-                return train_step(carry, metadata, batch)
+            plans = plan if isinstance(plan, list) else [plan]
+            seg_sums: dict[str, Any] = {}
+            seg_counts: dict[str, Any] = {}
+            for static_meta, meta_arrays, indices in plans:
+                if indices is None:
+                    continue
 
-            if indices is not None:
+                def flat_step(carry, xs, *, static_meta=static_meta):
+                    meta_i, idx = xs
+                    metadata = {**static_meta, **meta_i}
+                    batch = self.sampler.gather(rollout, idx)
+                    return train_step(carry, metadata, batch)
+
                 state, stacked = jax.lax.scan(flat_step, state, (meta_arrays, indices))
-                metrics_steps = {k: jnp.mean(v) for k, v in stacked.items()}
-            else:
-                metrics_steps = {}
+                steps = jax.tree.leaves(indices)[0].shape[0]
+                for k, v in stacked.items():
+                    seg_sums[k] = seg_sums.get(k, 0.0) + jnp.sum(v)
+                    seg_counts[k] = seg_counts.get(k, 0) + steps
+            metrics_steps = {k: seg_sums[k] / seg_counts[k] for k in seg_sums}
 
         state, metrics_post = self._composite.post_update(state, rollout, snapshot)
         state = state.replace(iteration=state.iteration + 1)
