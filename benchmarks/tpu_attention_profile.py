@@ -171,5 +171,123 @@ def main():
     emit(probe="temporal_gather_x20", ms=round(ms, 2), compile_s=round(cs, 1))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("ATTN_BISECT") != "1":
     main()
+
+
+def bisect():
+    """Partition update_body exactly: pre_update fold | minibatch scan | post_update fold."""
+    import cusrl_tpu
+    from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+    from cusrl_tpu.template.hook import HookComposite
+
+    emit(devices=[str(d) for d in jax.devices()])
+    num_envs, T = 4096, 24
+    env = VelocityLocomotionEnv(num_instances=num_envs)
+    factory = cusrl_tpu.TransformerPpoAgentFactory(
+        num_steps_per_update=T,
+        embed_dim=128,
+        num_heads=4,
+        attention_window=16,
+        mlp_hidden_dims=(128,),
+        activation_fn="elu",
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        defer_normalization_updates=True,
+        store_original_observations=False,
+        desired_kl_divergence=0.01,
+    )
+    agent = factory(env.spec)
+    state = agent.state
+    obs_dim, act_dim = env.spec.observation_dim, env.spec.action_dim
+    keys = jax.random.split(jax.random.key(0), 8)
+    obs = jax.random.normal(keys[0], (T, num_envs, obs_dim), jnp.float32)
+    action = jax.random.normal(keys[2], (T, num_envs, act_dim), jnp.float32)
+    done = jax.random.bernoulli(keys[4], 0.02, (T, num_envs, 1))
+    memory0 = state.actor.init_memory(num_envs)
+    memory_stack = jax.tree.map(lambda m: jnp.broadcast_to(m[None], (T,) + m.shape), memory0)
+    cmem0 = state.critic.init_memory(num_envs)
+    cmem_stack = jax.tree.map(lambda m: jnp.broadcast_to(m[None], (T,) + m.shape), cmem0)
+    dist, _, _ = state.actor(obs.reshape(T * num_envs, obs_dim))
+    dist = jax.tree.map(lambda x: x.reshape(T, num_envs, -1), dist)
+    flat_v, _, _ = state.critic(obs.reshape(T * num_envs, obs_dim), jax.tree.map(
+        lambda m: jnp.broadcast_to(m[None], (T,) + m.shape).reshape((T * num_envs,) + m.shape[1:]), cmem0))
+    rollout = {
+        "observation": obs,
+        "next_observation": jax.random.normal(keys[1], (T, num_envs, obs_dim), jnp.float32),
+        "action": action,
+        "action_dist": dist,
+        "action_logp": state.actor.compute_logp(dist, action),
+        "reward": jax.random.normal(keys[3], (T, num_envs, 1), jnp.float32),
+        "terminated": done,
+        "truncated": jnp.zeros_like(done),
+        "done": done,
+        "actor_memory": memory_stack,
+        "value": flat_v.reshape(T, num_envs, -1),
+        "critic_memory": cmem_stack,
+        "next_critic_memory": cmem_stack,
+    }
+    composite = HookComposite()
+
+    def pre_only(state, rollout):
+        state, rollout, m = composite.pre_update(state, rollout)
+        return jax.tree.leaves(rollout["next_value"])[0][0, 0], state.iteration
+
+    f = jax.jit(pre_only)
+    ms, cs = timeit(lambda: f(state, rollout), warmup=2, iters=10)
+    emit(probe="pre_update_fold", ms=round(ms, 2), compile_s=round(cs, 1))
+
+    def post_only(state, rollout):
+        snapshot = (state.actor, state.critic, state.hooks, state.opt_state)
+        rollout = dict(rollout)
+        rollout["advantage"] = rollout["reward"]
+        state, m = composite.post_update(state, rollout, snapshot)
+        return m["kl_divergence"]
+
+    g = jax.jit(post_only)
+    ms, cs = timeit(lambda: g(state, rollout), warmup=2, iters=10)
+    emit(probe="post_update_fold", ms=round(ms, 2), compile_s=round(cs, 1))
+
+    # Minibatch scan exactly as update_body runs it (flat make_plan path).
+    def scan_only(state, rollout, key):
+        rollout = dict(rollout)
+        rollout["advantage"] = rollout["reward"]
+        rollout["return"] = rollout["reward"]
+        rollout["next_value"] = rollout["value"]
+        capacity, parallelism = T, num_envs
+        static_meta, meta_arrays, indices = agent.sampler.make_plan(key, capacity, parallelism, rollout)
+
+        def flat_step(carry, xs):
+            meta_i, idx = xs
+            metadata = {**static_meta, **meta_i}
+            batch = agent.sampler.gather(rollout, idx)
+            from cusrl_tpu.nn.base import combine, partition
+            from cusrl_tpu.template.actor_critic import params_view, state_with_view
+
+            view = params_view(carry)
+            params, rest = partition(view)
+
+            def loss_fn(p):
+                st = state_with_view(carry, combine(p, rest))
+                st2, batch2, objectives, m_obj = composite.objective(st, metadata, batch)
+                return sum(jnp.asarray(v, jnp.float32) for v in objectives.values()), st2.hooks
+
+            (_, new_hooks), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            st = carry.replace(hooks=new_hooks)
+            st, grads, _ = composite.pre_optim(st, grads)
+            new_params, new_opt = agent.optimizer.apply(grads, st.opt_state, params, st.learning_rates)
+            merged = combine(new_params, partition(params_view(st))[1])
+            st = state_with_view(st, merged).replace(opt_state=new_opt)
+            return st, 0.0
+
+        state, _ = jax.lax.scan(flat_step, state, (meta_arrays, indices))
+        return state.iteration
+
+    h = jax.jit(scan_only)
+    ms, cs = timeit(lambda: h(state, rollout, jax.random.key(5)), warmup=2, iters=10)
+    emit(probe="minibatch_scan_only", ms=round(ms, 2), compile_s=round(cs, 1))
+
+
+if __name__ == "__main__" and os.environ.get("ATTN_BISECT") == "1":
+    bisect()

@@ -248,7 +248,20 @@ def export_agent(
     **kwargs,
 ) -> None:
     os.makedirs(output_dir, exist_ok=True)
-    if target_format in ("savedmodel", "tflite"):
+    if target_format == "onnx":
+        # Reference capability (torch.onnx.export + checker/optimizer,
+        # cusrl/nn/layer/export.py:173-229).  TPU-native route: jax2tf
+        # SavedModel -> tf2onnx.  Guarded up front so environments without
+        # tf2onnx fail fast with the sanctioned substitutes named (SURVEY
+        # §2.7 maps ONNX to StableHLO/SavedModel/TFLite).
+        try:
+            import tf2onnx  # noqa: F401
+        except ImportError as error:
+            raise ImportError(
+                "onnx export requires the 'tf2onnx' package; the first-class "
+                "deployment formats are 'stablehlo', 'savedmodel', and 'tflite'"
+            ) from error
+    if target_format in ("savedmodel", "tflite", "onnx"):
         # Deployment targets run pure fp32 (TFLite cannot legalize bf16 matmuls).
         class _ActorOverride:
             def __init__(self, inner, actor):
@@ -294,7 +307,7 @@ def export_agent(
             # reset(indices) entry point — cusrl/nn/layer/export.py:298-393).
             with open(os.path.join(output_dir, "initial_memory.pkl"), "wb") as f:
                 pickle.dump(jax.tree.map(np.asarray, actor.init_memory(batch_size)), f)
-    elif target_format in ("savedmodel", "tflite"):
+    elif target_format in ("savedmodel", "tflite", "onnx"):
         import tensorflow as tf
         from jax.experimental import jax2tf
 
@@ -317,6 +330,18 @@ def export_agent(
             ]
             with open(os.path.join(output_dir, "graph.tflite"), "wb") as f:
                 f.write(converter.convert())
+        elif target_format == "onnx":
+            import tf2onnx
+
+            model_proto, _ = tf2onnx.convert.from_saved_model(
+                saved_dir, output_path=os.path.join(output_dir, "graph.onnx")
+            )
+            try:
+                import onnx
+
+                onnx.checker.check_model(os.path.join(output_dir, "graph.onnx"))
+            except ImportError:
+                pass  # checker optional, mirroring the reference's best-effort chain
     elif target_format == "package":
         payload = {
             "actor": jax.tree.map(lambda x: np.asarray(x), actor),

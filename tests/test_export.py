@@ -289,3 +289,67 @@ def test_export_with_prediction_heads(tmp_path):
 
     manifest = yaml.safe_load((tmp_path / "manifest.yaml").read_text())
     assert "return_prediction" in manifest["outputs"]
+
+
+def test_export_onnx_requires_tf2onnx(tmp_path):
+    """The onnx format is a guarded jax2tf->tf2onnx hop (SURVEY §2.7 maps the
+    reference's torch.onnx path to StableHLO/TFLite as first-class formats);
+    without tf2onnx it must fail fast, BEFORE importing TensorFlow."""
+    import sys
+
+    import pytest
+
+    env = create_dummy_env()
+    agent = make_agent(env)
+    assert "tensorflow" not in sys.modules  # segfault hazard beside jax+torch
+    with pytest.raises(ImportError, match="tf2onnx"):
+        agent.export(str(tmp_path / "onnx"), target_format="onnx", verbose=False)
+    assert "tensorflow" not in sys.modules
+
+
+def test_export_onnx_with_fake_tf2onnx_subprocess(tmp_path):
+    """With tf2onnx present, the onnx path builds the SavedModel and invokes
+    tf2onnx.convert.from_saved_model on it.  TF cannot import beside jax+torch,
+    so run in a clean subprocess with a FAKE tf2onnx recording the call."""
+    import json
+    import subprocess
+    import sys
+
+    script = f"""
+import json, os, sys, types
+sys.path.insert(0, {str(os.getcwd())!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+calls = {{}}
+fake = types.ModuleType("tf2onnx")
+fake.convert = types.SimpleNamespace()
+def from_saved_model(saved_dir, output_path=None):
+    calls["saved_dir"] = saved_dir
+    calls["output_path"] = output_path
+    open(output_path, "wb").write(b"onnx-bytes")
+    return object(), None
+fake.convert.from_saved_model = from_saved_model
+sys.modules["tf2onnx"] = fake
+
+from tests.helpers import create_dummy_env
+import cusrl_tpu
+env = create_dummy_env()
+agent = cusrl_tpu.PpoAgentFactory(num_steps_per_update=4, actor_hidden_dims=(8,), critic_hidden_dims=(8,),
+                                  sampler_epochs=1, sampler_mini_batches=1)(env.spec)
+agent.export({str(tmp_path / "onnx")!r}, target_format="onnx", verbose=False)
+print("RESULT " + json.dumps({{
+    "saved_model_exists": os.path.isdir(calls["saved_dir"]),
+    "onnx_exists": os.path.isfile(calls["output_path"]),
+    "manifest": os.path.isfile(os.path.join({str(tmp_path / "onnx")!r}, "manifest.yaml")),
+}}))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=420,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    result = json.loads(line[len("RESULT "):])
+    assert result == {"saved_model_exists": True, "onnx_exists": True, "manifest": True}
