@@ -282,3 +282,86 @@ def test_cross_process_training_matches_single_process(tmp_path):
     r0, r1 = np.array(results[0]["wr"]), np.array(results[1]["wr"])
     np.testing.assert_array_equal(r0, r1)
     np.testing.assert_allclose(r0, np.array(oracle["wr"]), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# DCN dry path (VERDICT r2 item 9): per-process ENVIRONMENT shards collected
+# with the real ScanRolloutDriver, then the cross-process DDP update — the
+# end-to-end topology a multi-host deployment runs, exercised on two real
+# processes without hardware.
+# ---------------------------------------------------------------------------
+
+_ENVSHARD_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["REPO_ROOT"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+import cusrl_tpu
+from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+from cusrl_tpu.template.rollout import ScanRolloutDriver
+from cusrl_tpu.utils.config import configure_distributed
+from cusrl_tpu.utils import distributed
+from cusrl_tpu.parallel.multiprocess import broadcast_agent_state, cross_process_update
+
+configure_distributed(timeout_s=60)
+rank = distributed.rank()
+
+cusrl_tpu.set_global_seed(11)
+# Each process owns its OWN environment shard (decorrelated seed).
+env = VelocityLocomotionEnv(num_instances=8, observation_dim=12, action_dim=3, seed=100 + rank)
+agent = cusrl_tpu.PpoAgentFactory(
+    num_steps_per_update=6,
+    actor_hidden_dims=(16,),
+    critic_hidden_dims=(16,),
+    sampler_epochs=2,
+    sampler_mini_batches=2,
+)(env.spec)
+broadcast_agent_state(agent)
+
+driver = ScanRolloutDriver(agent, env, packed=False)
+for it in range(2):
+    transitions, aggregates = driver.collect(agent.num_steps_per_update)
+    metrics = cross_process_update(agent, rollout=transitions)
+
+w = np.asarray(agent.state.actor.backbone.layers[0].weight, np.float64)
+finite = bool(np.isfinite(w).all()) and all(np.isfinite(v) for v in metrics.values())
+print("RESULT " + json.dumps({"rank": rank, "w": w.tolist(), "finite": finite,
+                              "surrogate": metrics.get("surrogate_loss", 0.0)}))
+"""
+
+
+def test_env_sharded_cross_process_training(tmp_path):
+    import numpy as np
+
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "REPO_ROOT": os.getcwd(),
+        "TEST_TMP": str(tmp_path),
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = []
+    for rank in range(2):
+        env = {**env_base, "JAX_PROCESS_ID": str(rank)}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _ENVSHARD_WORKER], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    results = {}
+    for rank, proc in enumerate(procs):
+        out, err = proc.communicate(timeout=420)
+        assert proc.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        results[rank] = json.loads(line[len("RESULT "):])
+
+    assert results[0]["finite"] and results[1]["finite"]
+    # Both ranks hold the identical replicated parameters after training on
+    # their own env shards — the DDP invariant over the DCN-style topology.
+    np.testing.assert_array_equal(np.array(results[0]["w"]), np.array(results[1]["w"]))
