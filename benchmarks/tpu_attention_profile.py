@@ -171,8 +171,6 @@ def main():
     emit(probe="temporal_gather_x20", ms=round(ms, 2), compile_s=round(cs, 1))
 
 
-if __name__ == "__main__" and os.environ.get("ATTN_BISECT") != "1":
-    main()
 
 
 def bisect():
@@ -289,5 +287,76 @@ def bisect():
     emit(probe="minibatch_scan_only", ms=round(ms, 2), compile_s=round(cs, 1))
 
 
-if __name__ == "__main__" and os.environ.get("ATTN_BISECT") == "1":
-    bisect()
+
+
+def rollout_probe():
+    import cusrl_tpu
+    from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv
+    from cusrl_tpu.template.rollout import ScanRolloutDriver
+
+    emit(devices=[str(d) for d in jax.devices()])
+    num_envs, T = 4096, 24
+    env = VelocityLocomotionEnv(num_instances=num_envs)
+    factory = cusrl_tpu.TransformerPpoAgentFactory(
+        num_steps_per_update=T,
+        embed_dim=128,
+        num_heads=4,
+        attention_window=16,
+        mlp_hidden_dims=(128,),
+        activation_fn="elu",
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        defer_normalization_updates=True,
+        store_original_observations=False,
+        desired_kl_divergence=0.01,
+    )
+    agent = factory(env.spec)
+    driver = ScanRolloutDriver(agent, env, packed=False)
+
+    def collect():
+        transitions, aggregates = driver.collect(T)
+        return aggregates
+
+    ms, cs = timeit(lambda: collect(), warmup=2, iters=10)
+    emit(probe="rollout_only", ms=round(ms, 2), compile_s=round(cs, 1))
+
+    # Isolate the actor act step at rollout shapes: one step, 4096 rows.
+    state = agent.state
+    obs = jax.random.normal(jax.random.key(0), (num_envs, env.spec.observation_dim), jnp.float32)
+    memory = state.actor.init_memory(num_envs)
+
+    def act24(state, obs, memory, key):
+        def body(carry, k):
+            mem = carry
+            dist, (action, logp), new_mem, _ = state.actor.explore(obs, k, mem)
+            return new_mem, action[0, 0]
+
+        return jax.lax.scan(body, memory, jax.random.split(key, T))
+
+    f = jax.jit(act24)
+    ms, cs = timeit(lambda: f(state, obs, memory, jax.random.key(1)), warmup=2, iters=10)
+    emit(probe="actor_explore_x24", ms=round(ms, 2), compile_s=round(cs, 1))
+
+    # And the critic value step (non-deferred ValueComputation runs it per act).
+    cmem = state.critic.init_memory(num_envs)
+
+    def value24(state, obs, cmem):
+        def body(carry, _):
+            v, new_mem, _ = state.critic(obs, carry)
+            return new_mem, v[0, 0]
+
+        return jax.lax.scan(body, cmem, None, length=T)
+
+    g = jax.jit(value24)
+    ms, cs = timeit(lambda: g(state, obs, cmem), warmup=2, iters=10)
+    emit(probe="critic_value_x24", ms=round(ms, 2), compile_s=round(cs, 1))
+
+
+if __name__ == "__main__":
+    if os.environ.get("ATTN_ROLLOUT") == "1":
+        rollout_probe()
+    elif os.environ.get("ATTN_BISECT") == "1":
+        bisect()
+    else:
+        main()

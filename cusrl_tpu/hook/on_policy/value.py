@@ -65,8 +65,10 @@ class ValueComputation(Hook):
         value, next_memory, _ = critic(observation, self.memory)
         transition["value"] = value
         if self.memory is not None:
+            # BPTT needs only the rollout-INITIAL memory (consumers read
+            # [0]); the scan driver truncates memory-suffixed stacks so the
+            # update never gathers [T, N, ...] cache snapshots.
             transition["critic_memory"] = self.memory
-            transition["next_critic_memory"] = next_memory
         return self.replace(memory=next_memory), transition
 
     def post_step(self, state, transition):
@@ -74,6 +76,15 @@ class ValueComputation(Hook):
             return self, transition
         from cusrl_tpu.nn.base import reset_memory
 
+        # Recurrent critics: compute the bootstrap value for THIS step's
+        # next-state here, with the post-act (pre-reset) memory — one extra
+        # [N]-row critic step per env step.  This replaces the reference-style
+        # whole-rollout [T*N] bootstrap pass AND the per-step
+        # ``next_critic_memory`` cache stacks it consumed (on attention
+        # backbones those stacks cost ~10 ms/iter of update-side gathers).
+        next_obs = get_first(transition, "next_state", "next_observation")
+        bootstrap_value, _, _ = state.critic(next_obs, self.memory)
+        transition["bootstrap_value"] = bootstrap_value
         return self.replace(memory=reset_memory(self.memory, transition["done"])), transition
 
     def pre_update(self, state, rollout):
@@ -111,14 +122,24 @@ class ValueComputation(Hook):
                 rollout = {**rollout, "value": eval_batched(observation, None)}
         value = rollout["value"]  # [T, N, Dr]
 
-        next_memory = rollout.get("next_critic_memory")
+        last_value = None
         if self.bootstrap_truncated_states:
             if bootstrap is None and sparse is None:
-                bootstrap = eval_batched(next_state, next_memory)
+                # Recurrent critics: per-step bootstrap values recorded in
+                # post_step; legacy/feedforward non-deferred: one batched pass.
+                bootstrap = rollout.get("bootstrap_value")
+                if bootstrap is None:
+                    bootstrap = eval_batched(next_state, rollout.get("next_critic_memory"))
         else:
-            last_memory = None if next_memory is None else jax.tree.map(lambda m: m[-1], next_memory)
-            last_value, _, _ = critic(next_state[-1], last_memory)
-            bootstrap = None
+            bootstrap = rollout.get("bootstrap_value")
+            if bootstrap is not None:
+                last_value = bootstrap[-1]
+                bootstrap = None
+            else:
+                next_memory = rollout.get("next_critic_memory")
+                last_memory = None if next_memory is None else jax.tree.map(lambda m: m[-1], next_memory)
+                last_value, _, _ = critic(next_state[-1], last_memory)
+                bootstrap = None
 
         # next_value[t] = value[t + 1]; last row bootstrapped from next_state.
         if sparse is not None:

@@ -61,6 +61,10 @@ class TemporalRandomSampler:
     num_batches: int = 1
     batch_size: int = 64
     sequence_len: int | None = None
+    # Windows start at arbitrary steps, so BPTT needs the memory snapshot AT
+    # each window start — the scan driver must keep full [T, N, ...] memory
+    # stacks for this sampler (it truncates them to [1, ...] otherwise).
+    requires_per_step_memory = True
 
     def make_plan(self, key: jax.Array, capacity: int, parallelism: int, rollout: dict, buffer_state=None):
         # Sequence length must be static (XLA shapes); ``None`` means the full
@@ -98,6 +102,7 @@ class AutoRandomSampler:
     num_batches: int = 1
     batch_size: int = 256
     sequence_len: int | None = None
+    requires_per_step_memory = True  # may resolve to TemporalRandomSampler
 
     def _resolve(self, rollout: dict):
         from cusrl_tpu.utils.nest import flatten_nested

@@ -84,6 +84,17 @@ class ScanRolloutDriver:
         init = (agent_state, env_state, observation, env_obs_state, memory, stats_carry)
         carry, (transitions, step_stats) = jax.lax.scan(body, init, keys)
         aggregates = jnp.stack([jnp.sum(s) for s in step_stats])  # (episodes, return_sum, length_sum)
+        # Memory-suffixed fields (recurrent caches: actor_memory,
+        # critic_memory, estimator_memory, ...) are consumed at [0] only — the
+        # sequence-mode re-evaluation replays them from the rollout-INITIAL
+        # state.  Truncate the stacks so the update never shuffles/gathers
+        # [T, N, cache...] snapshots (measured ~10 ms/iter of gathers on the
+        # attention backbone at bench shapes).
+        if not getattr(self.agent.sampler, "requires_per_step_memory", False):
+            transitions = {
+                key_name: (jax.tree.map(lambda x: x[:1], value) if key_name.endswith("memory") else value)
+                for key_name, value in transitions.items()
+            }
         return carry, transitions, aggregates
 
     # -- fused rollout + update (one dispatch per iteration) -------------------
