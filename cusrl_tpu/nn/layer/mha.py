@@ -123,9 +123,22 @@ class MultiheadAttention(Module):
         """Head merge + output projection for externally computed attention."""
         return self.out_proj(self._merge(out))
 
-    def __call__(self, query, keyvalue=None, mask=None, bias=None, q_positions=None, kv_positions=None):
-        """query [.., Lq, C]; keyvalue [.., Lk, Ckv] (defaults to query)."""
+    def __call__(
+        self, query, keyvalue=None, mask=None, bias=None, q_positions=None, kv_positions=None,
+        kv_pad_to: int | None = None,
+    ):
+        """query [.., Lq, C]; keyvalue [.., Lk, Ckv] (defaults to query).
+
+        ``kv_pad_to``: lane-align the key axis AFTER projection + RoPE (the
+        caller's mask must already cover the padded slots) — short key axes
+        run the score/softmax/PV chain at Lk/128 lane utilization otherwise,
+        and padding post-projection keeps the k/v projections and RoPE at the
+        true key count."""
         q, k, v = self.project_qkv(query, keyvalue, q_positions, kv_positions)
+        if kv_pad_to is not None and kv_pad_to > k.shape[-2]:
+            extra = kv_pad_to - k.shape[-2]
+            pad = [(0, 0)] * (k.ndim - 2) + [(0, extra), (0, 0)]
+            k, v = jnp.pad(k, pad), jnp.pad(v, pad)
         if mask is not None and mask.ndim == q.ndim - 1:
             mask = mask[..., None, :, :]  # add head axis
         out = self._merge(scaled_dot_product_attention(q, k, v, mask=mask, bias=bias))

@@ -213,30 +213,25 @@ class CausalMultiheadSelfAttention(Module):
         # Lane-align the key axis: TPU vector registers are 128 lanes wide, so
         # a short combined key axis (e.g. W+T = 40 on the locomotion config)
         # runs every score/softmax/PV op at S/128 lane utilization AND at
-        # relayout-crippled HBM bandwidth (traced at ~60-300 GB/s).  Padding
-        # keys to the lane boundary with masked slots trades ~3x FLOPs on tiny
-        # tensors for full-width vector ops.  Masked softmax makes the pad
-        # slots exact zeros.
+        # relayout-crippled HBM bandwidth (traced at ~60-300 GB/s).  The MHA
+        # pads k/v AFTER projection + RoPE (kv_pad_to), so only the masked
+        # score/softmax/PV chain widens; projections stay at the true S.
         s_len = window + t_len
         s_pad = -(-s_len // 128) * 128
         if s_pad != s_len:
             extra = s_pad - s_len
-            tokens_in = jnp.pad(tokens, ((0, 0), (0, extra), (0, 0)))
             mask = jnp.pad(mask, ((0, 0), (0, 0), (0, extra)))
-            kv_positions = jnp.arange(s_pad)
             if bias is not None:
                 bias = jnp.pad(bias, ((0, 0), (0, 0), (0, extra)))
-        else:
-            tokens_in = tokens
-            kv_positions = k_pos
 
         out = self.mha(
             jnp.swapaxes(x, 0, 1),  # [N, T, C]
-            tokens_in,
+            tokens,
             mask=mask,
             bias=bias,
             q_positions=q_pos,
-            kv_positions=kv_positions,
+            kv_positions=k_pos,
+            kv_pad_to=s_pad if s_pad != s_len else None,
         )  # [N, T, C]
         outputs = jnp.swapaxes(out, 0, 1)
 

@@ -25,6 +25,8 @@ register_experiment(
         normalize_observation=True,
         desired_kl_divergence=0.015,
         entropy_loss_weight=0.005,
+        # Stacked actor+critic evaluation (gradient-equivalent; joint_eval.py).
+        fuse_actor_critic_evaluation=True,
     ),
     training_env_factory=VelocityLocomotionEnv,
     training_env_factory_kwargs={"num_instances": 4096},
@@ -50,6 +52,8 @@ register_experiment(
         normalize_observation=True,
         desired_kl_divergence=0.01,
         entropy_loss_weight=0.005,
+        # Stacked actor+critic evaluation (gradient-equivalent; joint_eval.py).
+        fuse_actor_critic_evaluation=True,
     ),
     training_env_factory=VelocityLocomotionEnv,
     training_env_factory_kwargs={"num_instances": 4096},
