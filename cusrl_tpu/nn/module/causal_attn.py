@@ -107,9 +107,17 @@ class CausalMultiheadSelfAttention(Module):
         mode = self.sequence_mode
         if mode == "auto":
             t_len, window = x.shape[0], self.window
+            # "micro" (nn/kernels/micro_attention.py) is validated bit-exact on
+            # Mosaic but measured perf-NEUTRAL at the RL training shapes — both
+            # it and the XLA SDPA are latency-floor-bound on per-(env, head)
+            # micro-matmuls (~90 ns/op; benchmarks/tpu_micro_attention_check.py)
+            # — so auto keeps the XLA path, which fuses with the surrounding
+            # projections.  Select sequence_mode="micro" explicitly to use it.
             block = min(128, -(-t_len // 8) * 8)
             band = (1 + -(-window // block)) * block
             mode = "banded" if band * 2 <= window + t_len else "batched"
+        if mode == "micro":
+            return self._sequence_micro(x, memory, done)
         if mode == "banded":
             return self._sequence_banded(x, memory, done)
         if mode == "batched":
@@ -126,6 +134,41 @@ class CausalMultiheadSelfAttention(Module):
 
         (cache, cache_mask), outputs = jax.lax.scan(body, (memory["input_cache"], memory["cache_mask"]), (x, done))
         return outputs, {"input_cache": cache, "cache_mask": cache_mask}, {}
+
+    def _sequence_micro(self, x, memory, done):
+        """Fused short-sequence path: identical mask semantics to
+        ``_sequence_batched`` (tests/test_micro_attention.py), one kernel
+        instance per env block with the whole [T, S] attention in VMEM."""
+        from cusrl_tpu.nn.kernels.micro_attention import micro_window_attention
+
+        t_len, batch = x.shape[:2]
+        window = self.window
+        cache, cache_mask = memory["input_cache"], memory["cache_mask"]
+
+        tokens = jnp.concatenate([cache, jnp.swapaxes(x, 0, 1)], axis=1)  # [N, W+T, C]
+        done2 = done.reshape(t_len, batch)
+        seg = jnp.cumsum(jnp.pad(done2.astype(jnp.int32), ((1, 0), (0, 0)))[:-1], axis=0)  # [T, N]
+
+        q_pos = window + jnp.arange(t_len)
+        k_pos = jnp.arange(window + t_len)
+        q, k, v = self.mha.project_qkv(
+            jnp.swapaxes(x, 0, 1), tokens, q_positions=q_pos, kv_positions=k_pos
+        )  # [N, H, T|W+T, D]
+
+        q_seg = jnp.swapaxes(seg, 0, 1)  # [N, T]
+        k_seg = jnp.concatenate([jnp.zeros((batch, window), jnp.int32), q_seg], axis=1)
+        k_valid = jnp.concatenate(
+            [(cache_mask > 0.5).astype(jnp.int32), jnp.ones((batch, t_len), jnp.int32)], axis=1
+        )
+        slopes = alibi_slopes(self.mha.num_heads) if self.use_alibi else None
+
+        out = micro_window_attention(
+            q, k, v, q_seg, k_seg, k_valid, window=window, slopes=slopes
+        )  # [N, H, T, D] fp32
+        outputs = jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
+
+        new_cache, new_mask = self._final_memory(tokens, k_valid, k_seg, seg, done2, cache_mask)
+        return outputs, {"input_cache": new_cache, "cache_mask": new_mask}, {}
 
     def _sequence_banded(self, x, memory, done):
         """Pallas flash-window path: same mask semantics as ``_sequence_batched``
