@@ -94,7 +94,7 @@ class FusedPpoUpdate(Hook):
         observation = batch["observation"]
         critic_input = get_first(batch, "state", "observation")
 
-        lead = observation.shape[:-1]
+        # Leading batch dims carry no information for scalar losses: flatten.
         xa = observation.reshape(-1, observation.shape[-1])
         xc = critic_input.reshape(-1, critic_input.shape[-1]).astype(xa.dtype)
         action = batch["action"].reshape(xa.shape[0], -1)
@@ -155,5 +155,4 @@ class FusedPpoUpdate(Hook):
             "entropy": jax.lax.stop_gradient(entropy),
             "value": value_mean,
         }
-        del lead  # leading batch dims carry no information for scalar losses
         return self, batch, objectives, metrics
