@@ -13,7 +13,15 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from cusrl_tpu.nn.base import Memory, ModuleFactory, frozen_field, mutable_field, reset_memory, static_field
+from cusrl_tpu.nn.base import (
+    Memory,
+    ModuleFactory,
+    frozen_field,
+    mutable_field,
+    reset_memory,
+    static_field,
+    storable_memory,
+)
 from cusrl_tpu.template.hook import Hook
 
 __all__ = ["StateEstimation"]
@@ -65,7 +73,7 @@ class StateEstimation(Hook):
         estimation, next_memory, _ = self.estimator(source, self.memory)
         transition[self.estimation_name] = estimation
         if self.memory is not None:
-            transition["estimator_memory"] = self.memory
+            transition["estimator_memory"] = storable_memory(self.memory, source.shape[0])
         return self.replace(memory=next_memory), transition
 
     def post_step(self, state, transition):

@@ -22,7 +22,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from cusrl_tpu.nn.base import Memory, frozen_field, mutable_field, reset_memory, static_field
+from cusrl_tpu.nn.base import Memory, frozen_field, mutable_field, reset_memory, static_field, storable_memory
 from cusrl_tpu.nn.module.actor import Actor
 from cusrl_tpu.nn.module.distribution import AdaptiveNormalDist, NormalDist
 from cusrl_tpu.template.hook import Hook
@@ -142,7 +142,7 @@ class MirrorSymmetryLoss(_SymmetryHook):
         if self.mirrored_memory is None:
             return self, transition
         mirrored_observation = _mirror_variants(transition["observation"], self.mirror_observation)[0]
-        transition["mirrored_actor_memory"] = self.mirrored_memory
+        transition["mirrored_actor_memory"] = storable_memory(self.mirrored_memory, mirrored_observation.shape[0])
         _, new_memory, _ = state.actor.backbone(mirrored_observation, self.mirrored_memory)
         new_memory = reset_memory(new_memory, transition["done"])
         return self.replace(mirrored_memory=new_memory), transition
@@ -208,37 +208,43 @@ class SymmetricDataAugmentation(_SymmetryHook):
         _, transition["augmented_action"] = self._augment(transition["action"], self.mirror_action)
 
         done = transition["done"]
+        # Rank-0 memory leaves (e.g. the attention ring cursor) are GLOBAL —
+        # identical across mirrored streams — so the K-stream plumbing keeps
+        # them unexpanded instead of indexing a per-stream axis.
+        def _augment_memory(orig, mirr):
+            if mirr.ndim == 0:
+                return jnp.broadcast_to(orig[:, None], (orig.shape[0], mirrored_obs.shape[0] + 1))
+            return jnp.concatenate([orig[:, None], mirr], axis=1)
+
+        def _stream(x, kk):
+            return x if x.ndim == 0 else x[:, kk]
+
+        def _restack(*ms):
+            return ms[0] if ms[0].ndim == 0 else jnp.stack(ms, axis=1)
+
         if self.mirrored_actor_memory is not None:
             # [N, 1+K, ...] memory: original + mirrored stream states.
             transition["augmented_actor_memory"] = jax.tree.map(
-                lambda orig, mirr: jnp.concatenate([orig[:, None], mirr], axis=1),
-                transition["actor_memory"],
-                self.mirrored_actor_memory,
+                _augment_memory, transition["actor_memory"], self.mirrored_actor_memory
             )
             new_memories = []
             for k in range(mirrored_obs.shape[0]):
                 _, m, _ = state.actor.backbone(
-                    mirrored_obs[k], jax.tree.map(lambda x, kk=k: x[:, kk], self.mirrored_actor_memory)
+                    mirrored_obs[k], jax.tree.map(lambda x, kk=k: _stream(x, kk), self.mirrored_actor_memory)
                 )
                 new_memories.append(reset_memory(m, done))
-            new = new.replace(
-                mirrored_actor_memory=jax.tree.map(lambda *ms: jnp.stack(ms, axis=1), *new_memories)
-            )
+            new = new.replace(mirrored_actor_memory=jax.tree.map(_restack, *new_memories))
         if self.augments_value and self.mirrored_critic_memory is not None:
             transition["augmented_critic_memory"] = jax.tree.map(
-                lambda orig, mirr: jnp.concatenate([orig[:, None], mirr], axis=1),
-                transition["critic_memory"],
-                self.mirrored_critic_memory,
+                _augment_memory, transition["critic_memory"], self.mirrored_critic_memory
             )
             new_memories = []
             for k in range(mirrored_state.shape[0]):
                 _, m, _ = state.critic.backbone(
-                    mirrored_state[k], jax.tree.map(lambda x, kk=k: x[:, kk], self.mirrored_critic_memory)
+                    mirrored_state[k], jax.tree.map(lambda x, kk=k: _stream(x, kk), self.mirrored_critic_memory)
                 )
                 new_memories.append(reset_memory(m, done))
-            new = new.replace(
-                mirrored_critic_memory=jax.tree.map(lambda *ms: jnp.stack(ms, axis=1), *new_memories)
-            )
+            new = new.replace(mirrored_critic_memory=jax.tree.map(_restack, *new_memories))
         return new, transition
 
     def objective(self, state, metadata, batch):

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cusrl_tpu.nn.base import Memory, frozen_field, mutable_field, static_field
+from cusrl_tpu.nn.base import Memory, frozen_field, mutable_field, static_field, storable_memory
 from cusrl_tpu.template.hook import Hook, validate_concrete
 from cusrl_tpu.utils.dict_utils import get_first
 
@@ -68,7 +68,7 @@ class ValueComputation(Hook):
             # BPTT needs only the rollout-INITIAL memory (consumers read
             # [0]); the scan driver truncates memory-suffixed stacks so the
             # update never gathers [T, N, ...] cache snapshots.
-            transition["critic_memory"] = self.memory
+            transition["critic_memory"] = storable_memory(self.memory, observation.shape[0])
         return self.replace(memory=next_memory), transition
 
     def post_step(self, state, transition):

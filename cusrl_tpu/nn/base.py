@@ -43,6 +43,7 @@ __all__ = [
     "partition",
     "reset_memory",
     "static_field",
+    "storable_memory",
     "trainable_mask",
     "tree_paths",
 ]
@@ -129,17 +130,39 @@ def reset_memory(memory: Memory, done) -> Memory:
     """Zeroes memory entries where ``done`` is set.
 
     ``done`` has shape ``[N, 1]`` (or ``[N]``); memory leaves are ``[N, C]`` or
-    ``[N, W, C]`` — broadcasting handles both.  TPU-native replacement for the
-    reference's masked in-place zeroing (cusrl/nn/module/module.py:120-140).
+    ``[N, W, C]`` — broadcasting handles both.  Rank-0 leaves are GLOBAL
+    (batch-independent) state — e.g. the ring-cache write cursor — and survive
+    resets untouched (per-env invalidation happens through the masked leaves).
+    TPU-native replacement for the reference's masked in-place zeroing
+    (cusrl/nn/module/module.py:120-140).
     """
     if memory is None:
         return None
 
     def _reset(leaf):
+        if leaf.ndim == 0:
+            return leaf
         mask = jnp.reshape(done, done.shape[: 1] + (1,) * (leaf.ndim - 1))
         return jnp.where(mask, jnp.zeros_like(leaf), leaf)
 
     return jax.tree.map(_reset, memory)
+
+
+def storable_memory(memory: Memory, batch_size: int) -> Memory:
+    """Memory view safe to store in a per-step transition: rank-0 (global)
+    leaves are broadcast to ``[batch_size]`` so every leaf survives the
+    ``[T, N, ...]`` stacking, truncation, and per-env minibatch gathers that
+    transition fields go through.  Modules that own global leaves read them
+    back via ``leaf.reshape(-1)[0]`` (all entries equal by construction)."""
+    if memory is None:
+        return None
+
+    def _broadcast(leaf):
+        if leaf.ndim == 0:
+            return jnp.broadcast_to(leaf, (batch_size,))
+        return leaf
+
+    return jax.tree.map(_broadcast, memory)
 
 
 # -- filtered differentiation ----------------------------------------------------

@@ -101,22 +101,43 @@ class MultiheadAttention(Module):
         x = x.swapaxes(-2, -3)
         return x.reshape(*x.shape[:-2], -1)
 
+    def project_q(self, query, q_positions=None):
+        """Query projection + QK-norm + RoPE: [.., Lq, C] -> [.., H, Lq, D]."""
+        q = self._split(self.q_proj(query))
+        if self.q_norm is not None:
+            q = self.q_norm(q)
+        if self.rope is not None:
+            if q_positions is None:
+                q_positions = jnp.arange(q.shape[-2])
+            q = self.rope(q, q_positions)
+        return q
+
+    def project_kv_raw(self, keyvalue):
+        """K/V projections + K-norm, NO RoPE — the cacheable per-token part
+        (positions shift as a cached token ages, so rotation is applied at
+        attention time by ``rope_k``)."""
+        k = self._split(self.k_proj(keyvalue))
+        v = self._split(self.v_proj(keyvalue))
+        if self.q_norm is not None:
+            k = self.k_norm(k)
+        return k, v
+
+    def rope_k(self, k, kv_positions):
+        """Applies RoPE to raw keys from ``project_kv_raw`` (no-op without rope)."""
+        if self.rope is None:
+            return k
+        return self.rope(k, kv_positions)
+
     def project_qkv(self, query, keyvalue=None, q_positions=None, kv_positions=None):
         """Projections + QK-norm + RoPE only: returns per-head q/k/v [.., H, L, D].
         Used by the banded/Pallas attention path, which runs its own SDPA."""
         keyvalue = query if keyvalue is None else keyvalue
-        q = self._split(self.q_proj(query))
-        k = self._split(self.k_proj(keyvalue))
-        v = self._split(self.v_proj(keyvalue))
-        if self.q_norm is not None:
-            q, k = self.q_norm(q), self.k_norm(k)
+        q = self.project_q(query, q_positions)
+        k, v = self.project_kv_raw(keyvalue)
         if self.rope is not None:
-            if q_positions is None:
-                q_positions = jnp.arange(q.shape[-2])
             if kv_positions is None:
                 kv_positions = jnp.arange(k.shape[-2])
-            q = self.rope(q, q_positions)
-            k = self.rope(k, kv_positions)
+            k = self.rope_k(k, kv_positions)
         return q, k, v
 
     def merge_output(self, out):

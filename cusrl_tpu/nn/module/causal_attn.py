@@ -2,21 +2,38 @@
 cusrl/nn/module/causal_attn.py:49-403 + nn/utils/attention.py:16-161).
 
 The reference implements this with flex_attention BlockMasks built from done
-flags plus split/pad machinery.  The TPU-native formulation is simpler: the
-recurrent memory is a rolling cache of the last ``window`` *input* tokens plus a
-validity mask::
+flags plus split/pad machinery.  The TPU-native formulation caches the last
+``window + 1`` *projected* key/value pairs in a ring buffer::
 
-    memory = {"input_cache": [N, W, C], "cache_mask": [N, W]}
+    memory = {
+        "k_cache": [N, H, P, D],   # pre-RoPE keys (P = window + 1 ring slots)
+        "v_cache": [N, H, P, D],
+        "cache_mask": [N, P],      # per-slot validity
+        "cursor": [] int32,        # GLOBAL next-write slot (see below)
+    }
 
-Single-step attention queries the current token against cache+self; sequence
-mode is a ``lax.scan`` of the SAME cell with done-driven cache resets on the
-carry — so causal ∧ window ∧ same-segment constraints hold by construction and
-rollout/batch consistency is structural (no mask bookkeeping at all).  Zeroing
-the memory (reset_memory) invalidates the cache via the zero mask.
+Single-step attention projects ONLY the new token's k/v, writes them at
+``cursor`` (one ``[N, 1, ...]`` dynamic-update-slice — the previous
+input-cache design rolled the whole ``[N, W, C]`` buffer with a concat+slice
+every step, measured ~29 ms/iter of pure HBM rewrites at the transformer bench
+config), and attends over the ring.  Because a slot is overwritten exactly
+when its token leaves the window, validity masking alone enforces the window
+constraint; RoPE positions derive from per-slot ages ``(cursor - i) mod P``
+(rotary attention is relative by construction) and keys are cached PRE-RoPE so
+a token's rotation can change as it ages.  ALiBi biases by age directly.
 
-RoPE uses window-relative positions (rotary attention is relative by
-construction); ALiBi biases by key distance.  The cache holds detached inputs,
-matching the reference's detached KV cache.
+The cursor is a rank-0 GLOBAL leaf: done-driven resets zero the per-env mask
+(invalidating the cache) but never the cursor (``reset_memory`` skips rank-0
+leaves), so all envs share one write phase and the update slice stays a single
+dynamic_update_slice instead of a per-env scatter.  When the memory is stored
+into a transition it travels as a broadcast ``[N]`` vector
+(``storable_memory``); consumers re-read it via ``reshape(-1)[0]``.
+
+Sequence mode unrolls the ring chronologically once per call and computes all
+T queries against [cache ++ sequence] keys (batched/banded/micro paths); the
+``lax.scan`` of the single-step cell remains as the definitionally-correct
+reference mode.  Caching projected (and detached) k/v matches the reference's
+detached KV-cache semantics (cusrl/nn/module/causal_attn.py:129-180).
 """
 
 from __future__ import annotations
@@ -28,15 +45,20 @@ import jax.numpy as jnp
 
 from cusrl_tpu.nn.base import Memory, Module, ModuleFactory, static_field
 from cusrl_tpu.nn.layer.encoding import alibi_slopes
-from cusrl_tpu.nn.layer.linear import Linear
-from cusrl_tpu.nn.layer.mha import FeedForward, MultiheadAttention, _LayerNorm
 from cusrl_tpu.nn.layer.gate import make_gate
+from cusrl_tpu.nn.layer.linear import Linear
+from cusrl_tpu.nn.layer.mha import FeedForward, MultiheadAttention, _LayerNorm, scaled_dot_product_attention
 
 __all__ = [
     "CausalMultiheadSelfAttention",
     "CausalTransformerEncoderLayer",
     "CausalTransformerEncoderLayerFactory",
 ]
+
+
+def _cursor_scalar(cursor):
+    """Global cursor in any stored form ([] live, [N] transition, [B..] batch)."""
+    return jnp.reshape(cursor, (-1,))[0] if cursor.ndim else cursor
 
 
 class CausalMultiheadSelfAttention(Module):
@@ -60,46 +82,121 @@ class CausalMultiheadSelfAttention(Module):
     def output_dim(self) -> int:
         return self.input_dim
 
+    @property
+    def _ring_slots(self) -> int:
+        return self.window + 1
+
     def init_memory(self, batch_size, dtype=jnp.float32) -> Memory:
         if isinstance(batch_size, int):
             batch_size = (batch_size,)
+        heads = self.mha.num_heads
+        head_dim = self.input_dim // heads
+        slots = self._ring_slots
         return {
-            "input_cache": jnp.zeros((*batch_size, self.window, self.input_dim), dtype),
-            "cache_mask": jnp.zeros((*batch_size, self.window), dtype),
+            "k_cache": jnp.zeros((*batch_size, heads, slots, head_dim), dtype),
+            "v_cache": jnp.zeros((*batch_size, heads, slots, head_dim), dtype),
+            "cache_mask": jnp.zeros((*batch_size, slots), dtype),
+            "cursor": jnp.zeros((), jnp.int32),
         }
 
-    def _alibi_bias(self):
-        if not self.use_alibi:
-            return None
-        slopes = alibi_slopes(self.mha.num_heads)  # [H]
-        distance = jnp.arange(self.window + 1, 0, -1) - 1  # key at slot i is (W-i) steps back
-        return -slopes[:, None, None] * distance[None, None, :]  # [H, 1, W+1]
+    # -- single step (ring write + masked SDPA over the ring) ------------------
 
-    def _step(self, x, cache, cache_mask):
-        """x [N, C]; cache [N, W, C]; returns (out [N, C], new cache, new mask)."""
-        tokens = jnp.concatenate([cache, x[:, None]], axis=1)  # [N, W+1, C]
-        valid = jnp.concatenate([cache_mask, jnp.ones((*x.shape[:-1], 1), cache_mask.dtype)], axis=1)
-        mask = valid[:, None, :] > 0.5  # [N, 1(q), W+1]
-        positions = jnp.arange(self.window + 1)
-        out = self.mha(
-            x[:, None],
-            tokens,
-            mask=mask,
-            bias=self._alibi_bias(),
-            q_positions=positions[-1:],
-            kv_positions=positions,
-        )[:, 0]
-        new_cache = jax.lax.stop_gradient(tokens[:, 1:])
-        new_mask = jax.lax.stop_gradient(valid[:, 1:])
-        return out, new_cache, new_mask
+    def _step(self, x, memory):
+        """x [N, C]; returns (out [N, C], new ring memory)."""
+        slots = self._ring_slots
+        k_cache, v_cache = memory["k_cache"], memory["v_cache"]
+        mask, cursor = memory["cache_mask"], _cursor_scalar(memory["cursor"])
+
+        k_new, v_new = self.mha.project_kv_raw(x[:, None])  # [N, H, 1, D]
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, 0, cursor, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, 0, cursor, 0))
+        mask = jax.lax.dynamic_update_slice(mask, jnp.ones((x.shape[0], 1), mask.dtype), (0, cursor))
+
+        ages = jnp.mod(cursor - jnp.arange(slots), slots)  # [P]; 0 == current token
+        q = self.mha.project_q(x[:, None], q_positions=jnp.full((1,), self.window, jnp.int32))
+        k_rot = self.mha.rope_k(k_cache, self.window - ages)
+        bias = None
+        if self.use_alibi:
+            slopes = alibi_slopes(self.mha.num_heads)  # [H]
+            bias = -slopes[:, None, None] * ages[None, None, :].astype(jnp.float32)  # [H, 1, P]
+        out = scaled_dot_product_attention(
+            q, k_rot, v_cache, mask=(mask > 0.5)[:, None, None, :], bias=bias
+        )  # [N, H, 1, D]
+        out = self.mha.merge_output(out)[:, 0]
+
+        new_memory = {
+            "k_cache": jax.lax.stop_gradient(k_cache),
+            "v_cache": jax.lax.stop_gradient(v_cache),
+            "cache_mask": mask,
+            "cursor": jnp.broadcast_to(jnp.mod(cursor + 1, slots), memory["cursor"].shape),
+        }
+        return out, new_memory
+
+    # -- shared sequence-mode plumbing -----------------------------------------
+
+    def _unrolled_cache(self, memory):
+        """Ring -> chronological last-W cache: (k_raw [N, H, W, D], v, mask [N, W])."""
+        slots = self._ring_slots
+        cursor = _cursor_scalar(memory["cursor"])
+        # Slot ``cursor`` holds the oldest entry (next overwrite target); the
+        # chronological last-W tokens are slots cursor+1 .. cursor+W.
+        idx = jnp.mod(cursor + 1 + jnp.arange(self.window), slots)  # [W] oldest -> newest
+        k = jnp.take(memory["k_cache"], idx, axis=2)
+        v = jnp.take(memory["v_cache"], idx, axis=2)
+        mask = jnp.take(memory["cache_mask"], idx, axis=1)
+        return k, v, mask
+
+    def _sequence_qkv(self, x, memory):
+        """Common prep for all whole-sequence paths.
+
+        Returns (q [N, H, T, D], k_rot/v [N, H, W+T, D], k_raw (pre-RoPE),
+        k_valid [N, W+T] int, k_seg [N, W+T], q_seg [N, T], done2 [T, N]).
+        """
+        t_len, batch = x.shape[:2]
+        window = self.window
+        x_nt = jnp.swapaxes(x, 0, 1)  # [N, T, C]
+
+        k_cache, v_cache, cache_mask = self._unrolled_cache(memory)
+        k_seq, v_seq = self.mha.project_kv_raw(x_nt)  # [N, H, T, D]
+        k_raw = jnp.concatenate([k_cache.astype(jnp.promote_types(k_cache.dtype, k_seq.dtype)),
+                                 k_seq.astype(jnp.promote_types(k_cache.dtype, k_seq.dtype))], axis=2)
+        v_all = jnp.concatenate([v_cache.astype(jnp.promote_types(v_cache.dtype, v_seq.dtype)),
+                                 v_seq.astype(jnp.promote_types(v_cache.dtype, v_seq.dtype))], axis=2)
+
+        q_pos = window + jnp.arange(t_len)
+        kv_pos = jnp.arange(window + t_len)
+        q = self.mha.project_q(x_nt, q_positions=q_pos)  # [N, H, T, D]
+        k_rot = self.mha.rope_k(k_raw, kv_pos)
+
+        return q, k_rot, v_all, k_raw, cache_mask, q_pos, kv_pos
+
+    def _segments(self, done, t_len, batch):
+        done2 = done.reshape(t_len, batch)
+        seg = jnp.cumsum(jnp.pad(done2.astype(jnp.int32), ((1, 0), (0, 0)))[:-1], axis=0)  # [T, N] dones before t
+        return done2, seg
+
+    def _final_memory(self, k_raw, v_all, k_valid, k_seg, seg, done2, memory):
+        """Ring-form final memory: last P combined tokens chronologically with
+        cursor = 0 (slot 0 = oldest = next overwrite), valid iff originally
+        valid and in the post-rollout episode's segment."""
+        slots = self._ring_slots
+        final_seg = seg[-1] + done2[-1].astype(jnp.int32)  # [N]
+        final_valid = (k_valid > 0) & (k_seg == final_seg[:, None])  # [N, W+T]
+        mask_dtype = memory["cache_mask"].dtype
+        new_memory = {
+            "k_cache": jax.lax.stop_gradient(k_raw[:, :, -slots:].astype(memory["k_cache"].dtype)),
+            "v_cache": jax.lax.stop_gradient(v_all[:, :, -slots:].astype(memory["v_cache"].dtype)),
+            "cache_mask": jax.lax.stop_gradient(final_valid[:, -slots:].astype(mask_dtype)),
+            "cursor": jnp.broadcast_to(jnp.zeros((), jnp.int32), memory["cursor"].shape),
+        }
+        return new_memory
 
     def __call__(self, x, memory: Memory = None, *, sequential: bool = False, done=None, **kwargs):
         if memory is None:
             batch = x.shape[1] if sequential else x.shape[0]
             memory = self.init_memory(batch)
         if not sequential:
-            out, cache, cache_mask = self._step(x, memory["input_cache"], memory["cache_mask"])
-            return out, {"input_cache": cache, "cache_mask": cache_mask}, {}
+            return (*self._step(x, memory), {})
 
         if done is None:
             done = jnp.zeros((*x.shape[:2], 1), bool)
@@ -107,53 +204,48 @@ class CausalMultiheadSelfAttention(Module):
         mode = self.sequence_mode
         if mode == "auto":
             t_len, window = x.shape[0], self.window
-            # "micro" (nn/kernels/micro_attention.py) is validated bit-exact on
-            # Mosaic but measured perf-NEUTRAL at the RL training shapes — both
-            # it and the XLA SDPA are latency-floor-bound on per-(env, head)
-            # micro-matmuls (~90 ns/op; benchmarks/tpu_micro_attention_check.py)
-            # — so auto keeps the XLA path, which fuses with the surrounding
-            # projections.  Select sequence_mode="micro" explicitly to use it.
-            block = min(128, -(-t_len // 8) * 8)
-            band = (1 + -(-window // block)) * block
-            mode = "banded" if band * 2 <= window + t_len else "batched"
-        if mode == "micro":
-            return self._sequence_micro(x, memory, done)
-        if mode == "banded":
-            return self._sequence_banded(x, memory, done)
+            # Short-T training shapes (the RL hot path) use the cross-env
+            # "lane" kernel on TPU: per-env attention problems are far below
+            # one MXU tile, so the XLA SDPA and per-env-grid kernels are bound
+            # by per-micro-op latency and padded-score HBM materialization
+            # (~90 ns/op; benchmarks/tpu_micro_attention_check.py, round-3
+            # trace).  Long sequences go to the banded flash kernel; otherwise
+            # the batched masked SDPA.
+            if t_len <= 64 and jax.default_backend() == "tpu":
+                mode = "lane"
+            else:
+                block = min(128, -(-t_len // 8) * 8)
+                band = (1 + -(-window // block)) * block
+                mode = "banded" if band * 2 <= window + t_len else "batched"
+        if mode in ("micro", "banded", "lane"):
+            return self._sequence_kernel(x, memory, done, kernel=mode)
         if mode == "batched":
             return self._sequence_batched(x, memory, done)
 
         def body(carry, xs):
-            cache, cache_mask = carry
+            memory_t = carry
             x_t, done_t = xs
-            out, cache, cache_mask = self._step(x_t, cache, cache_mask)
+            out, memory_t = self._step(x_t, memory_t)
             keep = jnp.logical_not(done_t)  # [N, 1]
-            cache = jnp.where(keep[..., None], cache, 0.0)
-            cache_mask = jnp.where(keep, cache_mask, 0.0)
-            return (cache, cache_mask), out
+            memory_t = {
+                "k_cache": jnp.where(keep[..., None, None], memory_t["k_cache"], 0.0),
+                "v_cache": jnp.where(keep[..., None, None], memory_t["v_cache"], 0.0),
+                "cache_mask": jnp.where(keep, memory_t["cache_mask"], 0.0),
+                "cursor": memory_t["cursor"],
+            }
+            return memory_t, out
 
-        (cache, cache_mask), outputs = jax.lax.scan(body, (memory["input_cache"], memory["cache_mask"]), (x, done))
-        return outputs, {"input_cache": cache, "cache_mask": cache_mask}, {}
+        final_memory, outputs = jax.lax.scan(body, memory, (x, done))
+        return outputs, final_memory, {}
 
-    def _sequence_micro(self, x, memory, done):
-        """Fused short-sequence path: identical mask semantics to
-        ``_sequence_batched`` (tests/test_micro_attention.py), one kernel
-        instance per env block with the whole [T, S] attention in VMEM."""
-        from cusrl_tpu.nn.kernels.micro_attention import micro_window_attention
-
+    def _sequence_kernel(self, x, memory, done, *, kernel: str):
+        """Pallas flash paths (banded / micro): same mask semantics as
+        ``_sequence_batched`` (tests/test_banded_attention.py,
+        tests/test_micro_attention.py) with only the non-empty band computed."""
         t_len, batch = x.shape[:2]
         window = self.window
-        cache, cache_mask = memory["input_cache"], memory["cache_mask"]
-
-        tokens = jnp.concatenate([cache, jnp.swapaxes(x, 0, 1)], axis=1)  # [N, W+T, C]
-        done2 = done.reshape(t_len, batch)
-        seg = jnp.cumsum(jnp.pad(done2.astype(jnp.int32), ((1, 0), (0, 0)))[:-1], axis=0)  # [T, N]
-
-        q_pos = window + jnp.arange(t_len)
-        k_pos = jnp.arange(window + t_len)
-        q, k, v = self.mha.project_qkv(
-            jnp.swapaxes(x, 0, 1), tokens, q_positions=q_pos, kv_positions=k_pos
-        )  # [N, H, T|W+T, D]
+        q, k_rot, v_all, k_raw, cache_mask, _, _ = self._sequence_qkv(x, memory)
+        done2, seg = self._segments(done, t_len, batch)
 
         q_seg = jnp.swapaxes(seg, 0, 1)  # [N, T]
         k_seg = jnp.concatenate([jnp.zeros((batch, window), jnp.int32), q_seg], axis=1)
@@ -162,58 +254,22 @@ class CausalMultiheadSelfAttention(Module):
         )
         slopes = alibi_slopes(self.mha.num_heads) if self.use_alibi else None
 
-        out = micro_window_attention(
-            q, k, v, q_seg, k_seg, k_valid, window=window, slopes=slopes
-        )  # [N, H, T, D] fp32
+        if kernel == "micro":
+            from cusrl_tpu.nn.kernels.micro_attention import micro_window_attention
+
+            out = micro_window_attention(q, k_rot, v_all, q_seg, k_seg, k_valid, window=window, slopes=slopes)
+        elif kernel == "lane":
+            from cusrl_tpu.nn.kernels.lane_attention import lane_window_attention
+
+            out = lane_window_attention(q, k_rot, v_all, q_seg, k_seg, k_valid, window=window, slopes=slopes)
+        else:
+            from cusrl_tpu.nn.kernels import banded_window_attention
+
+            out = banded_window_attention(q, k_rot, v_all, q_seg, k_seg, k_valid, window=window, slopes=slopes)
         outputs = jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
 
-        new_cache, new_mask = self._final_memory(tokens, k_valid, k_seg, seg, done2, cache_mask)
-        return outputs, {"input_cache": new_cache, "cache_mask": new_mask}, {}
-
-    def _sequence_banded(self, x, memory, done):
-        """Pallas flash-window path: same mask semantics as ``_sequence_batched``
-        (verified equivalent in tests/test_banded_attention.py) but only the
-        non-empty [T, BQ+W] score band is ever computed or materialized."""
-        from cusrl_tpu.nn.kernels import banded_window_attention
-
-        t_len, batch = x.shape[:2]
-        window = self.window
-        cache, cache_mask = memory["input_cache"], memory["cache_mask"]
-
-        tokens = jnp.concatenate([cache, jnp.swapaxes(x, 0, 1)], axis=1)  # [N, W+T, C]
-        done2 = done.reshape(t_len, batch)
-        seg = jnp.cumsum(jnp.pad(done2.astype(jnp.int32), ((1, 0), (0, 0)))[:-1], axis=0)  # [T, N]
-
-        q_pos = window + jnp.arange(t_len)
-        k_pos = jnp.arange(window + t_len)
-        q, k, v = self.mha.project_qkv(
-            jnp.swapaxes(x, 0, 1), tokens, q_positions=q_pos, kv_positions=k_pos
-        )  # [N, H, T|W+T, D]
-
-        q_seg = jnp.swapaxes(seg, 0, 1)  # [N, T]
-        k_seg = jnp.concatenate([jnp.zeros((batch, window), jnp.int32), q_seg], axis=1)
-        k_valid = jnp.concatenate(
-            [(cache_mask > 0.5).astype(jnp.int32), jnp.ones((batch, t_len), jnp.int32)], axis=1
-        )
-        slopes = alibi_slopes(self.mha.num_heads) if self.use_alibi else None
-
-        out = banded_window_attention(
-            q, k, v, q_seg, k_seg, k_valid, window=window, slopes=slopes
-        )  # [N, H, T, D] fp32
-        outputs = jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
-
-        new_cache, new_mask = self._final_memory(tokens, k_valid, k_seg, seg, done2, cache_mask)
-        return outputs, {"input_cache": new_cache, "cache_mask": new_mask}, {}
-
-    def _final_memory(self, tokens, k_valid, k_seg, seg, done2, cache_mask):
-        """Last W combined tokens, valid iff originally valid and in the
-        post-rollout episode's segment."""
-        window = self.window
-        final_seg = seg[-1] + done2[-1].astype(jnp.int32)  # [N]
-        final_valid = (k_valid > 0) & (k_seg == final_seg[:, None])  # [N, W+T]
-        new_cache = jax.lax.stop_gradient(tokens[:, -window:])
-        new_mask = jax.lax.stop_gradient(final_valid[:, -window:].astype(cache_mask.dtype))
-        return new_cache, new_mask
+        new_memory = self._final_memory(k_raw, v_all, k_valid, k_seg, seg, done2, memory)
+        return outputs, new_memory, {}
 
     def _sequence_batched(self, x, memory, done):
         """All T queries in one masked SDPA over [cache ++ sequence] keys.
@@ -228,24 +284,18 @@ class CausalMultiheadSelfAttention(Module):
         """
         t_len, batch = x.shape[:2]
         window = self.window
-        cache, cache_mask = memory["input_cache"], memory["cache_mask"]
+        q, k_rot, v_all, k_raw, cache_mask, q_pos, k_pos = self._sequence_qkv(x, memory)
+        done2, seg = self._segments(done, t_len, batch)
 
-        tokens = jnp.concatenate([cache, jnp.swapaxes(x, 0, 1)], axis=1)  # [N, W+T, C]
-        done2 = done.reshape(t_len, batch)
-        seg = jnp.cumsum(jnp.pad(done2.astype(jnp.int32), ((1, 0), (0, 0)))[:-1], axis=0)  # [T, N] dones before t
-
-        q_pos = window + jnp.arange(t_len)  # combined positions of queries
-        k_pos = jnp.arange(window + t_len)
         in_window = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] >= q_pos[:, None] - window)  # [T, W+T]
 
         # Per-instance key validity/segments in combined index space.
-        k_is_cache = k_pos < window  # [W+T]
         k_seg = jnp.concatenate([jnp.zeros((window, batch), jnp.int32), seg], axis=0)  # [W+T, N]
         k_valid = jnp.concatenate([jnp.swapaxes(cache_mask, 0, 1) > 0.5, jnp.ones((t_len, batch), bool)], axis=0)
 
         same_seg = seg[:, None, :] == k_seg[None, :, :]  # [T, W+T, N]
         mask = in_window[:, :, None] & same_seg & k_valid[None, :, :]  # [T, W+T, N]
-        mask = jnp.moveaxis(mask, -1, 0)  # [N, T, W+T]
+        mask = jnp.moveaxis(mask, -1, 0)[:, None]  # [N, 1, T, W+T]
 
         bias = None
         if self.use_alibi:
@@ -256,35 +306,27 @@ class CausalMultiheadSelfAttention(Module):
         # Lane-align the key axis: TPU vector registers are 128 lanes wide, so
         # a short combined key axis (e.g. W+T = 40 on the locomotion config)
         # runs every score/softmax/PV op at S/128 lane utilization AND at
-        # relayout-crippled HBM bandwidth (traced at ~60-300 GB/s).  The MHA
-        # pads k/v AFTER projection + RoPE (kv_pad_to), so only the masked
-        # score/softmax/PV chain widens; projections stay at the true S.
+        # relayout-crippled HBM bandwidth (traced at ~60-300 GB/s).  Keys are
+        # padded AFTER projection + RoPE, so only the masked score/softmax/PV
+        # chain widens; projections stay at the true S.
         s_len = window + t_len
         s_pad = -(-s_len // 128) * 128
+        k_sdpa, v_sdpa = k_rot, v_all
         if s_pad != s_len:
             extra = s_pad - s_len
-            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, extra)))
+            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (0, extra)))
             if bias is not None:
                 bias = jnp.pad(bias, ((0, 0), (0, 0), (0, extra)))
+            pad = [(0, 0), (0, 0), (0, extra), (0, 0)]
+            k_sdpa, v_sdpa = jnp.pad(k_rot, pad), jnp.pad(v_all, pad)
 
-        out = self.mha(
-            jnp.swapaxes(x, 0, 1),  # [N, T, C]
-            tokens,
-            mask=mask,
-            bias=bias,
-            q_positions=q_pos,
-            kv_positions=k_pos,
-            kv_pad_to=s_pad if s_pad != s_len else None,
-        )  # [N, T, C]
-        outputs = jnp.swapaxes(out, 0, 1)
+        out = scaled_dot_product_attention(q, k_sdpa, v_sdpa, mask=mask, bias=bias)  # [N, H, T, D]
+        outputs = jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
 
-        # Final memory: last W combined tokens, valid iff same segment as the
-        # post-rollout episode and originally valid.
-        final_seg = seg[-1] + done2[-1].astype(jnp.int32)  # [N]
-        final_valid = k_valid & (k_seg == final_seg[None, :])  # [W+T, N]
-        new_cache = jax.lax.stop_gradient(tokens[:, -window:])
-        new_mask = jax.lax.stop_gradient(jnp.swapaxes(final_valid[-window:], 0, 1).astype(cache_mask.dtype))
-        return outputs, {"input_cache": new_cache, "cache_mask": new_mask}, {}
+        k_valid_nt = jnp.swapaxes(k_valid, 0, 1).astype(jnp.int32)  # [N, W+T]
+        k_seg_nt = jnp.swapaxes(k_seg, 0, 1)  # [N, W+T]
+        new_memory = self._final_memory(k_raw, v_all, k_valid_nt, k_seg_nt, seg, done2, memory)
+        return outputs, new_memory, {}
 
 
 class CausalTransformerEncoderLayer(Module):

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cusrl_tpu.nn.base import Module, combine, partition, reset_memory, tree_paths
+from cusrl_tpu.nn.base import Module, combine, partition, reset_memory, storable_memory, tree_paths
 from cusrl_tpu.nn.module.actor import Actor, ActorFactory
 from cusrl_tpu.nn.module.critic import Value, ValueFactory
 from cusrl_tpu.template.agent import Agent, AgentFactory
@@ -280,7 +280,7 @@ class ActorCritic(Agent):
         else:
             dist_params, (action, action_logp), new_memory, _aux = state.actor.explore(obs, key, memory)
         if memory is not None:
-            transition["actor_memory"] = memory
+            transition["actor_memory"] = storable_memory(memory, obs.shape[0])
         transition.update(action_dist=dist_params, action=action, action_logp=action_logp)
         state, transition = self._composite.post_act(state, transition)
         return state, transition, transition["action"], new_memory

@@ -7,7 +7,7 @@ fully on-device environment, so these also serve as the throughput benchmarks.
 
 from cusrl_tpu.environment.locomotion import VelocityLocomotionEnv, demonstration_dataset
 from cusrl_tpu.preset.amp import AmpAgentFactory
-from cusrl_tpu.preset.ppo import PpoAgentFactory, RecurrentPpoAgentFactory
+from cusrl_tpu.preset.ppo import PpoAgentFactory, RecurrentPpoAgentFactory, TransformerPpoAgentFactory
 from cusrl_tpu.zoo.registry import register_experiment
 
 register_experiment(
@@ -72,6 +72,36 @@ register_experiment(
         num_steps_per_update=24,
         rnn_type="gru",
         rnn_hidden_size=256,
+        mlp_hidden_dims=(128,),
+        activation_fn="elu",
+        lr=1e-3,
+        sampler_epochs=5,
+        sampler_mini_batches=4,
+        normalize_observation=True,
+        desired_kl_divergence=0.015,
+    ),
+    training_env_factory=VelocityLocomotionEnv,
+    training_env_factory_kwargs={"num_instances": 1024},
+    benchmarking_env_factory=VelocityLocomotionEnv,
+    benchmarking_env_factory_kwargs={"num_instances": 64},
+    num_iterations=300,
+    checkpoint_interval=50,
+    iterations_per_dispatch=10,
+)
+
+# Transformer (windowed causal attention) policy on the same task — the native
+# counterpart of the reference's transformer PPO preset
+# (cusrl/preset/ppo.py:301-372); also the attention-path throughput benchmark
+# config (benchmarks/tpu_attention_check.py).
+register_experiment(
+    environment_name="Velocity-Flat",
+    algorithm_name="transformer_ppo",
+    agent_meta_factory=TransformerPpoAgentFactory,
+    agent_meta_factory_kwargs=dict(
+        num_steps_per_update=24,
+        embed_dim=128,
+        num_heads=4,
+        attention_window=16,
         mlp_hidden_dims=(128,),
         activation_fn="elu",
         lr=1e-3,

@@ -22,13 +22,16 @@ def make_module(window=8, embed=32, heads=4, mode="banded", use_alibi=False, use
     )
 
 
-def make_inputs(t_len=64, batch=5, embed=32, window=8, seed=1):
-    keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+def make_inputs(t_len=64, batch=5, embed=32, window=8, heads=4, seed=1):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 5)
     x = jax.random.normal(keys[0], (t_len, batch, embed), jnp.float32)
     done = jax.random.bernoulli(keys[1], 0.08, (t_len, batch, 1))
+    slots, head_dim = window + 1, embed // heads
     memory = {
-        "input_cache": jax.random.normal(keys[2], (batch, window, embed), jnp.float32),
-        "cache_mask": (jax.random.bernoulli(keys[3], 0.6, (batch, window))).astype(jnp.float32),
+        "k_cache": jax.random.normal(keys[2], (batch, heads, slots, head_dim), jnp.float32),
+        "v_cache": jax.random.normal(keys[3], (batch, heads, slots, head_dim), jnp.float32),
+        "cache_mask": (jax.random.bernoulli(keys[4], 0.6, (batch, slots))).astype(jnp.float32),
+        "cursor": jnp.asarray(3, jnp.int32),
     }
     return x, done, memory
 
@@ -128,15 +131,13 @@ def test_banded_recurrent_consistency():
     module = make_module(mode="banded")
     seq_out, _, _ = module(x, memory, sequential=True, done=done)
 
+    from cusrl_tpu.nn.base import reset_memory
+
     outs = []
     mem = memory
     for t in range(x.shape[0]):
         out, mem, _ = module(x[t], mem)
         outs.append(out)
-        keep = jnp.logical_not(done[t])  # [N, 1]
-        mem = {
-            "input_cache": jnp.where(keep[..., None], mem["input_cache"], 0.0),
-            "cache_mask": jnp.where(keep, mem["cache_mask"], 0.0),
-        }
+        mem = reset_memory(mem, done[t])
     step_out = jnp.stack(outs)
     np.testing.assert_allclose(np.asarray(seq_out), np.asarray(step_out), rtol=1e-4, atol=1e-5)

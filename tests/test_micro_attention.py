@@ -121,6 +121,8 @@ def test_micro_sequence_mode_matches_scan_mode():
     out_m, mem_m, _ = micro_attn(x, memory, sequential=True, done=done)
     out_s, mem_s, _ = scan_attn(x, memory, sequential=True, done=done)
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s), atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(mem_m["cache_mask"]), np.asarray(mem_s["cache_mask"]), atol=1e-6
-    )
+    # Ring rotations differ (scan advances the cursor; micro emits canonical
+    # cursor=0); compare the chronological unrolled masks instead.
+    _, _, mask_m = attn._unrolled_cache(mem_m)
+    _, _, mask_s = attn._unrolled_cache(mem_s)
+    np.testing.assert_allclose(np.asarray(mask_m), np.asarray(mask_s), atol=1e-6)
