@@ -3,6 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the BASELINE.json north star of 10M env-steps/s
 on one v5e host (the reference publishes no numbers of its own — SURVEY.md §6).
+
+The headline is the PIPELINED TRAINER loop — the real user-facing training
+path (zoo `iterations_per_dispatch` chunking with prefetch before the blocking
+metric fetch), measured end-to-end including metric fetches.  BENCH_RAW=1
+selects the raw-driver loop (no Trainer, no metric fetch) — the number
+reported through round 3 — for A/B continuity.
 """
 
 from __future__ import annotations
@@ -54,7 +60,7 @@ def run_trainer_mode(num_envs: int, steps_per_update: int, warmup_iters: int, ti
     print(
         json.dumps(
             {
-                "metric": "ppo_locomotion_env_steps_per_s_trainer",
+                "metric": "ppo_locomotion_env_steps_per_s",
                 "value": round(steps_per_s, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(steps_per_s / NORTH_STAR_STEPS_PER_S, 4),
@@ -84,10 +90,8 @@ def main() -> None:
     # also a Trainer knob).  Amortizes the per-dispatch host overhead.
     chunk = max(1, int(os.environ.get("BENCH_CHUNK", 1)))
 
-    if os.environ.get("BENCH_TRAINER", "0") == "1":
-        # Trainer-driven variant (validates the zoo's iterations_per_dispatch
-        # chunking end-to-end; VERDICT r2 item 8 asks this within 2% of the
-        # raw-driver number).
+    if os.environ.get("BENCH_RAW", "0") != "1":
+        # Headline: the pipelined Trainer loop (the path users actually run).
         run_trainer_mode(num_envs, steps_per_update, warmup_iters, timed_iters)
         return
 

@@ -76,6 +76,9 @@ class StateEstimation(Hook):
             transition["estimator_memory"] = storable_memory(self.memory, source.shape[0])
         return self.replace(memory=next_memory), transition
 
+    def rollout_memory_entries(self):
+        return {} if self.memory is None else {"estimator_memory": self.memory}
+
     def post_step(self, state, transition):
         if self.memory is None:
             return self, transition

@@ -138,6 +138,9 @@ class MirrorSymmetryLoss(_SymmetryHook):
             hook = hook.replace(mirrored_memory=agent.actor.init_memory(agent.parallelism))
         return hook
 
+    def rollout_memory_entries(self):
+        return {} if self.mirrored_memory is None else {"mirrored_actor_memory": self.mirrored_memory}
+
     def post_step(self, state, transition):
         if self.mirrored_memory is None:
             return self, transition

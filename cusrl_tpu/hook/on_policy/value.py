@@ -71,6 +71,11 @@ class ValueComputation(Hook):
             transition["critic_memory"] = storable_memory(self.memory, observation.shape[0])
         return self.replace(memory=next_memory), transition
 
+    def rollout_memory_entries(self):
+        if self.memory is None or self.deferred:
+            return {}
+        return {"critic_memory": self.memory}
+
     def post_step(self, state, transition):
         if self.memory is None:
             return self, transition

@@ -86,16 +86,22 @@ class CausalMultiheadSelfAttention(Module):
     def _ring_slots(self) -> int:
         return self.window + 1
 
-    def init_memory(self, batch_size, dtype=jnp.float32) -> Memory:
+    def init_memory(self, batch_size, dtype=None) -> Memory:
         if isinstance(batch_size, int):
             batch_size = (batch_size,)
         heads = self.mha.num_heads
         head_dim = self.input_dim // heads
         slots = self._ring_slots
+        if dtype is None:
+            # Cache k/v in the projections' OUTPUT dtype (usually bf16): the
+            # stored values are exactly what project_kv_raw produces, so this
+            # is lossless — and halves the ring's HBM footprint in the rollout
+            # carry (2 × [N, H, W+1, D] per backbone).
+            dtype = jnp.dtype(self.mha.k_proj.compute_dtype or jnp.float32)
         return {
             "k_cache": jnp.zeros((*batch_size, heads, slots, head_dim), dtype),
             "v_cache": jnp.zeros((*batch_size, heads, slots, head_dim), dtype),
-            "cache_mask": jnp.zeros((*batch_size, slots), dtype),
+            "cache_mask": jnp.zeros((*batch_size, slots), jnp.float32),
             "cursor": jnp.zeros((), jnp.int32),
         }
 
@@ -351,7 +357,7 @@ class CausalTransformerEncoderLayer(Module):
     def output_dim(self) -> int:
         return self.attention.input_dim
 
-    def init_memory(self, batch_size, dtype=jnp.float32) -> Memory:
+    def init_memory(self, batch_size, dtype=None) -> Memory:
         return self.attention.init_memory(batch_size, dtype)
 
     def _block(self, h, memory, *, sequential, done):

@@ -450,6 +450,15 @@ class ActorCritic(Agent):
                 plan = self.sampler.make_plan(key, capacity, parallelism, rollout)
 
             plans = plan if isinstance(plan, list) else [plan]
+            # Same batch-key restriction as the epoch-plan branch: gather only
+            # the fields the objective fold reads (the rollout holds ~2x more
+            # bytes — and, on recurrent paths, the [1, N, cache...] memory
+            # snapshots re-gathered every minibatch are the dominant ones).
+            gather_src = rollout
+            if plans and plans[0][2] is not None:
+                needed = self._record_batch_keys(state, dict(plans[0][0]), rollout)
+                if needed is not None:
+                    gather_src = {k: v for k, v in rollout.items() if k in needed}
             seg_sums: dict[str, Any] = {}
             seg_counts: dict[str, Any] = {}
             for static_meta, meta_arrays, indices in plans:
@@ -459,7 +468,7 @@ class ActorCritic(Agent):
                 def flat_step(carry, xs, *, static_meta=static_meta):
                     meta_i, idx = xs
                     metadata = {**static_meta, **meta_i}
-                    batch = self.sampler.gather(rollout, idx)
+                    batch = self.sampler.gather(gather_src, idx)
                     return train_step(carry, metadata, batch)
 
                 state, stacked = jax.lax.scan(flat_step, state, (meta_arrays, indices))

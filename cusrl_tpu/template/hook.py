@@ -83,6 +83,19 @@ class Hook(Module):
     def apply_schedule(self, iteration: int, agent: "ActorCritic | None" = None) -> "Hook":
         return self
 
+    def rollout_memory_entries(self) -> dict:
+        """Transition keys this hook writes per-step recurrent memory under,
+        with their CURRENT (pre-rollout) values.
+
+        The fused scan driver uses this to reconstruct the rollout-INITIAL
+        memory snapshot outside the scan and drop the per-step entries from
+        the stacked transitions entirely — stacking a [N, H, W+1, D] ring
+        cache for all T steps costs hundreds of MB of dead HBM writes per
+        iteration (only index [0] is ever consumed; tracing showed ~25 ms/iter
+        at the transformer bench config).  Hooks that do NOT implement this
+        keep their per-step stacking behavior (correct, just slower)."""
+        return {}
+
     def schedule_is_noop(self, iteration: int) -> bool:
         """True when apply_schedule(iteration) provably changes nothing.  Lets
         the packed-carry fast path skip per-iteration state synchronization;

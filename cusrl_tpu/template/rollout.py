@@ -46,6 +46,31 @@ class ScanRolloutDriver:
     def _rollout(self, agent_state, env_state, observation, env_obs_state, memory, stats_carry, key, *, num_steps):
         keys = jax.random.split(key, num_steps)
 
+        # Memory-slim stacking: BPTT only ever consumes the rollout-INITIAL
+        # memory snapshot ([0] of each memory-suffixed stack), and that value
+        # is available HERE, before the scan — the actor's carry plus each
+        # hook's declared entries (Hook.rollout_memory_entries).  Dropping the
+        # per-step entries from the scanned ys DCEs the whole [T, N, cache...]
+        # stack (measured ~25 ms/iter of dead HBM writes for two [N, H, W+1, D]
+        # ring caches at the transformer bench config).  Samplers that truly
+        # need per-step memory (TemporalRandomSampler) keep full stacking, as
+        # do hooks that don't implement the protocol.
+        slim_keys: set[str] = set()
+        initial_memories: dict[str, object] = {}
+        if not getattr(self.agent.sampler, "requires_per_step_memory", False):
+            from cusrl_tpu.nn.base import storable_memory
+
+            batch = observation.shape[0] if hasattr(observation, "shape") else None
+            if memory is not None and batch is not None:
+                initial_memories["actor_memory"] = storable_memory(memory, batch)
+            for hook in agent_state.hooks:
+                if not hook.active:
+                    continue
+                for key_name, value in hook.rollout_memory_entries().items():
+                    if value is not None and batch is not None:
+                        initial_memories[key_name] = storable_memory(value, batch)
+            slim_keys = set(initial_memories)
+
         def body(carry, key_t):
             agent_state, env_state, observation, env_obs_state, memory, (cum_reward, cum_length) = carry
             act_key, env_key = jax.random.split(key_t)
@@ -78,23 +103,25 @@ class ScanRolloutDriver:
             cum_reward = jnp.where(done, 0.0, cum_reward)
             cum_length = jnp.where(done, 0, cum_length)
 
+            if slim_keys:
+                transition = {k: v for k, v in transition.items() if k not in slim_keys}
             new_carry = (agent_state, env_state, next_observation, next_env_obs_state, memory, (cum_reward, cum_length))
             return new_carry, (transition, step_stats)
 
         init = (agent_state, env_state, observation, env_obs_state, memory, stats_carry)
         carry, (transitions, step_stats) = jax.lax.scan(body, init, keys)
         aggregates = jnp.stack([jnp.sum(s) for s in step_stats])  # (episodes, return_sum, length_sum)
-        # Memory-suffixed fields (recurrent caches: actor_memory,
-        # critic_memory, estimator_memory, ...) are consumed at [0] only — the
-        # sequence-mode re-evaluation replays them from the rollout-INITIAL
-        # state.  Truncate the stacks so the update never shuffles/gathers
-        # [T, N, cache...] snapshots (measured ~10 ms/iter of gathers on the
-        # attention backbone at bench shapes).
+        # Reconstruct the (dropped) memory entries as [1, N, ...] snapshots,
+        # and truncate any remaining memory-suffixed stacks from hooks without
+        # the rollout_memory_entries protocol — both consumed at [0] only (the
+        # sequence-mode re-evaluation replays from the rollout-INITIAL state).
         if not getattr(self.agent.sampler, "requires_per_step_memory", False):
             transitions = {
                 key_name: (jax.tree.map(lambda x: x[:1], value) if key_name.endswith("memory") else value)
                 for key_name, value in transitions.items()
             }
+            for key_name, value in initial_memories.items():
+                transitions[key_name] = jax.tree.map(lambda x: x[None], value)
         return carry, transitions, aggregates
 
     # -- fused rollout + update (one dispatch per iteration) -------------------
