@@ -5,10 +5,11 @@ TPU-native counterpart of the reference's flex_attention training path
 trains at: THOUSANDS of environments but TINY per-env attention problems
 (T ≈ 8-64 query steps, S = W + T combined keys, D ≈ 16-64 head dims).
 
-Why a third attention kernel (besides banded_attention / micro_attention):
-at these shapes every per-(env, head) matmul is far below one 128×128 MXU
-tile, so both the XLA SDPA chain and per-env-grid Pallas kernels are bound by
-per-micro-op latency (~90 ns; benchmarks/tpu_micro_attention_check.py) and by
+Why a second attention kernel (besides banded_attention): at these shapes
+every per-(env, head) matmul is far below one 128×128 MXU tile, so both the
+XLA SDPA chain and per-env-grid Pallas kernels (round 3's removed "micro-T"
+kernel measured 5.49 ms vs XLA's 5.20 at the bench shapes) are bound by
+per-micro-op latency (~90 ns; docs/ROADMAP.md round-3 tables) and by
 HBM materialization of the padded [N, H, T, S→128] score tensors (traced at
 ~30 ms/iter on the transformer bench).  This kernel instead vectorizes ACROSS
 ENVIRONMENTS: tensors are laid out env-minor (``[H, D, T, N]`` — environments

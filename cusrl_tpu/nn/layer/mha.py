@@ -112,15 +112,60 @@ class MultiheadAttention(Module):
             q = self.rope(q, q_positions)
         return q
 
-    def project_kv_raw(self, keyvalue):
+    def _fused_dot(self, x, projs):
+        """One matmul against the trace-time concat of several projection
+        weights (XLA does not merge parallel same-input dots itself; the
+        launch/fusion boundaries of 3 separate [rows,C]@[C,C] projections are
+        measurable at RL minibatch shapes).  Same numerics as Linear.__call__
+        (bf16 operands, fp32 accumulation/bias, cast down).  Returns
+        per-projection outputs."""
+        import numpy as np
+
+        weight_t = jnp.concatenate([p.weight.T for p in projs], axis=1)  # [in, out_total]
+        bias = None
+        if any(p.bias is not None for p in projs):
+            bias = jnp.concatenate(
+                [p.bias if p.bias is not None else jnp.zeros(p.weight.shape[0], jnp.float32) for p in projs]
+            )
+        dtype = projs[0].compute_dtype
+        if dtype is not None:
+            dtype = jnp.dtype(dtype)
+            h = jnp.dot(x.astype(dtype), weight_t.astype(dtype), preferred_element_type=jnp.float32)
+            if bias is not None:
+                h = h + bias
+            h = h.astype(dtype)
+        else:
+            h = jnp.dot(x.astype(jnp.float32), weight_t, preferred_element_type=jnp.float32)
+            if bias is not None:
+                h = h + bias
+        return jnp.split(h, np.cumsum([p.weight.shape[0] for p in projs])[:-1].tolist(), axis=-1)
+
+    def project_kv_raw(self, keyvalue, *, fused: bool = True):
         """K/V projections + K-norm, NO RoPE — the cacheable per-token part
         (positions shift as a cached token ages, so rotation is applied at
         attention time by ``rope_k``)."""
-        k = self._split(self.k_proj(keyvalue))
-        v = self._split(self.v_proj(keyvalue))
+        if fused:
+            k, v = self._fused_dot(keyvalue, (self.k_proj, self.v_proj))
+            k, v = self._split(k), self._split(v)
+        else:
+            k = self._split(self.k_proj(keyvalue))
+            v = self._split(self.v_proj(keyvalue))
         if self.q_norm is not None:
             k = self.k_norm(k)
         return k, v
+
+    def project_qkv_raw(self, x, q_positions=None):
+        """Self-attention fast path: q/k/v as ONE matmul; RoPE on q only
+        (k stays raw for the cache)."""
+        q, k, v = self._fused_dot(x, (self.q_proj, self.k_proj, self.v_proj))
+        q, k, v = self._split(q), self._split(k), self._split(v)
+        if self.q_norm is not None:
+            q, k = self.q_norm(q), self.k_norm(k)
+        if self.rope is not None:
+            if q_positions is None:
+                q_positions = jnp.arange(q.shape[-2])
+            q = self.rope(q, q_positions)
+        return q, k, v
 
     def rope_k(self, k, kv_positions):
         """Applies RoPE to raw keys from ``project_kv_raw`` (no-op without rope)."""

@@ -30,7 +30,7 @@ into a transition it travels as a broadcast ``[N]`` vector
 (``storable_memory``); consumers re-read it via ``reshape(-1)[0]``.
 
 Sequence mode unrolls the ring chronologically once per call and computes all
-T queries against [cache ++ sequence] keys (batched/banded/micro paths); the
+T queries against [cache ++ sequence] keys (batched/banded/lane paths); the
 ``lax.scan`` of the single-step cell remains as the definitionally-correct
 reference mode.  Caching projected (and detached) k/v matches the reference's
 detached KV-cache semantics (cusrl/nn/module/causal_attn.py:129-180).
@@ -113,13 +113,14 @@ class CausalMultiheadSelfAttention(Module):
         k_cache, v_cache = memory["k_cache"], memory["v_cache"]
         mask, cursor = memory["cache_mask"], _cursor_scalar(memory["cursor"])
 
-        k_new, v_new = self.mha.project_kv_raw(x[:, None])  # [N, H, 1, D]
+        q, k_new, v_new = self.mha.project_qkv_raw(
+            x[:, None], q_positions=jnp.full((1,), self.window, jnp.int32)
+        )  # [N, H, 1, D], q already RoPE'd at position W
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, 0, cursor, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, 0, cursor, 0))
         mask = jax.lax.dynamic_update_slice(mask, jnp.ones((x.shape[0], 1), mask.dtype), (0, cursor))
 
         ages = jnp.mod(cursor - jnp.arange(slots), slots)  # [P]; 0 == current token
-        q = self.mha.project_q(x[:, None], q_positions=jnp.full((1,), self.window, jnp.int32))
         k_rot = self.mha.rope_k(k_cache, self.window - ages)
         bias = None
         if self.use_alibi:
@@ -163,15 +164,14 @@ class CausalMultiheadSelfAttention(Module):
         x_nt = jnp.swapaxes(x, 0, 1)  # [N, T, C]
 
         k_cache, v_cache, cache_mask = self._unrolled_cache(memory)
-        k_seq, v_seq = self.mha.project_kv_raw(x_nt)  # [N, H, T, D]
+        q_pos = window + jnp.arange(t_len)
+        kv_pos = jnp.arange(window + t_len)
+        # q/k/v of the live sequence as ONE fused matmul (q already RoPE'd).
+        q, k_seq, v_seq = self.mha.project_qkv_raw(x_nt, q_positions=q_pos)  # [N, H, T, D]
         k_raw = jnp.concatenate([k_cache.astype(jnp.promote_types(k_cache.dtype, k_seq.dtype)),
                                  k_seq.astype(jnp.promote_types(k_cache.dtype, k_seq.dtype))], axis=2)
         v_all = jnp.concatenate([v_cache.astype(jnp.promote_types(v_cache.dtype, v_seq.dtype)),
                                  v_seq.astype(jnp.promote_types(v_cache.dtype, v_seq.dtype))], axis=2)
-
-        q_pos = window + jnp.arange(t_len)
-        kv_pos = jnp.arange(window + t_len)
-        q = self.mha.project_q(x_nt, q_positions=q_pos)  # [N, H, T, D]
         k_rot = self.mha.rope_k(k_raw, kv_pos)
 
         return q, k_rot, v_all, k_raw, cache_mask, q_pos, kv_pos
@@ -213,17 +213,17 @@ class CausalMultiheadSelfAttention(Module):
             # Short-T training shapes (the RL hot path) use the cross-env
             # "lane" kernel on TPU: per-env attention problems are far below
             # one MXU tile, so the XLA SDPA and per-env-grid kernels are bound
-            # by per-micro-op latency and padded-score HBM materialization
-            # (~90 ns/op; benchmarks/tpu_micro_attention_check.py, round-3
-            # trace).  Long sequences go to the banded flash kernel; otherwise
-            # the batched masked SDPA.
+            # by per-micro-op latency (~90 ns/op — the round-3 "micro" kernel
+            # hit the same floor and was removed once lane superseded it) and
+            # by padded-score HBM materialization.  Long sequences go to the
+            # banded flash kernel; otherwise the batched masked SDPA.
             if t_len <= 64 and jax.default_backend() == "tpu":
                 mode = "lane"
             else:
                 block = min(128, -(-t_len // 8) * 8)
                 band = (1 + -(-window // block)) * block
                 mode = "banded" if band * 2 <= window + t_len else "batched"
-        if mode in ("micro", "banded", "lane"):
+        if mode in ("banded", "lane"):
             return self._sequence_kernel(x, memory, done, kernel=mode)
         if mode == "batched":
             return self._sequence_batched(x, memory, done)
@@ -245,9 +245,9 @@ class CausalMultiheadSelfAttention(Module):
         return outputs, final_memory, {}
 
     def _sequence_kernel(self, x, memory, done, *, kernel: str):
-        """Pallas flash paths (banded / micro): same mask semantics as
+        """Pallas flash paths (banded / lane): same mask semantics as
         ``_sequence_batched`` (tests/test_banded_attention.py,
-        tests/test_micro_attention.py) with only the non-empty band computed."""
+        tests/test_lane_attention.py) with only the non-empty band computed."""
         t_len, batch = x.shape[:2]
         window = self.window
         q, k_rot, v_all, k_raw, cache_mask, _, _ = self._sequence_qkv(x, memory)
@@ -260,11 +260,7 @@ class CausalMultiheadSelfAttention(Module):
         )
         slopes = alibi_slopes(self.mha.num_heads) if self.use_alibi else None
 
-        if kernel == "micro":
-            from cusrl_tpu.nn.kernels.micro_attention import micro_window_attention
-
-            out = micro_window_attention(q, k_rot, v_all, q_seg, k_seg, k_valid, window=window, slopes=slopes)
-        elif kernel == "lane":
+        if kernel == "lane":
             from cusrl_tpu.nn.kernels.lane_attention import lane_window_attention
 
             out = lane_window_attention(q, k_rot, v_all, q_seg, k_seg, k_valid, window=window, slopes=slopes)

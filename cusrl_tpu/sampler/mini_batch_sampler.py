@@ -101,6 +101,7 @@ class MiniBatchSampler:
         return False
 
     def make_plan(self, key: jax.Array, capacity: int, parallelism: int, rollout: dict):
+        self._gather_block = None  # re-resolved per plan by _epoch_perm
         num_samples = self._num_samples(capacity, parallelism)
         keys = jax.random.split(key, self.num_epochs)
         plans = []
@@ -187,20 +188,39 @@ class TemporalMiniBatchSampler(MiniBatchSampler):
         """Tile-granular environment permutation (``shuffle_block_size`` auto
         = 128): per-env column gathers of a ``[T, N, ...]`` rollout are
         uncoalesced HBM access (traced at ~11 ms/iter on the transformer
-        bench); permuting 128-env TILES makes every gather run a contiguous
-        ``[t, 128·C]`` DMA.  Environments are i.i.d., so a uniformly-permuted
+        bench); permuting 128-env TILES makes every gather 8-ish big
+        contiguous slices instead of ~1000 tiny ones (``gather`` below indexes
+        the tiled view with TILE indices — expanded per-env index runs still
+        traced at ~10 ms).  Environments are i.i.d., so a uniformly-permuted
         tile partition is an equally valid BPTT minibatch partition (same
         argument as the flat tile shuffle).  Set ``shuffle_block_size=1`` to
         force the reference's env-granular permutation."""
+        block = self._resolve_block(num_samples, batch_size, count) if self.shuffle else 1
+        # Segments (varying per-epoch minibatch counts) may resolve different
+        # blocks; the gather must use ONE granularity, so downgrade to the
+        # minimum (tile-structured perms remain valid env permutations for a
+        # finer gather — just slower).
+        prev = getattr(self, "_gather_block", None)
+        self._gather_block = block if prev in (None, block) else min(prev, block)
         if not self.shuffle:
             return jnp.arange(num_samples)
-        block = self._resolve_block(num_samples, batch_size, count)
         if block <= 1:
             return jax.random.permutation(key, num_samples)
         tiles = jax.random.permutation(key, num_samples // block)
         return (tiles[:, None] * block + jnp.arange(block)[None, :]).reshape(-1)
 
     def gather(self, rollout: dict, idx: jax.Array) -> dict:
+        block = getattr(self, "_gather_block", 1)
+        if block > 1:
+            # idx is tile-structured (runs of `block` consecutive envs, by
+            # construction in _epoch_perm): index the tiled view by tile id.
+            tile_idx = idx.reshape(-1, block)[:, 0] // block
+            return jax.tree.map(
+                lambda x: x.reshape(x.shape[0], -1, block, *x.shape[2:])[:, tile_idx].reshape(
+                    x.shape[0], idx.shape[0], *x.shape[2:]
+                ),
+                rollout,
+            )
         return jax.tree.map(lambda x: x[:, idx], rollout)
 
 

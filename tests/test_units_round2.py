@@ -63,6 +63,23 @@ def test_tree_packer_works_under_jit():
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
 
 
+def test_tree_packer_big_leaf_passthrough():
+    # Leaves >= passthrough_bytes travel as their own arguments (no flatten /
+    # concat round-trip); the roundtrip stays exact and the big leaf keeps its
+    # dtype entry out of the grouped buffers.
+    tree = make_tree()
+    tree["ring"] = jnp.arange(512 * 600, dtype=jnp.float32).reshape(512, 600)  # 1.2 MB
+    packer = TreePacker(tree)
+    buffers = packer.pack(tree)
+    assert any(name.startswith("__big") for name in buffers)
+    big = [v for kk, v in buffers.items() if kk.startswith("__big")]
+    assert big[0].shape == (512, 600)
+    assert buffers["float32"].size < 100  # small leaves only
+    restored = packer.unpack(buffers)
+    np.testing.assert_array_equal(np.asarray(restored["ring"]), np.asarray(tree["ring"]))
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
+
+
 # -- distributions ------------------------------------------------------------
 
 
