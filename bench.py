@@ -18,6 +18,13 @@ import os
 import sys
 import time
 
+# Must precede the first jax import (the axon plugin snapshots the env at
+# init): a 32 MB scoped-VMEM limit measured +2.5% on the raw loop
+# (benchmarks/tpu_flag_sweep2.sh, v15 ledger).  BENCH_VMEM_KIB=0 disables.
+_vmem = os.environ.get("BENCH_VMEM_KIB", "32768")
+if _vmem != "0" and "LIBTPU_INIT_ARGS" not in os.environ:
+    os.environ["LIBTPU_INIT_ARGS"] = f"--xla_tpu_scoped_vmem_limit_kib={_vmem}"
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NORTH_STAR_STEPS_PER_S = 10_000_000.0
@@ -36,9 +43,11 @@ def run_trainer_mode(num_envs: int, steps_per_update: int, warmup_iters: int, ti
     timed_iters = max(timed_iters, 100)
     factory.num_iterations = 10 * (warmup_iters + timed_iters)
     factory.iterations_per_dispatch = int(os.environ.get("BENCH_CHUNK", factory.iterations_per_dispatch))
-    # Same documented TPU perf knobs as the raw-driver bench.
-    factory.agent.defer_normalization_updates = True
-    factory.agent.store_original_observations = False
+    # Same documented TPU perf knobs as the raw-driver bench (BENCH_PARITY=1
+    # selects reference-parity defaults for the honesty measurement).
+    parity = os.environ.get("BENCH_PARITY", "0") == "1"
+    factory.agent.defer_normalization_updates = not parity
+    factory.agent.store_original_observations = parity
     factory.agent.fuse_actor_critic_evaluation = os.environ.get("BENCH_FUSE", "1") == "1"
     trainer = factory(verbose=False)
 
@@ -86,6 +95,10 @@ def main() -> None:
     steps_per_update = int(os.environ.get("BENCH_STEPS", 24))
     warmup_iters = int(os.environ.get("BENCH_WARMUP", 5))
     timed_iters = int(os.environ.get("BENCH_ITERS", 40))
+    # BENCH_PARITY=1: reference-parity defaults (no deferred normalization, no
+    # original-observation skip) — the "honesty" configuration quoted next to
+    # the knobs-on headline in benchmarks/README.md.
+    parity = os.environ.get("BENCH_PARITY", "0") == "1"
     # Iterations per jitted dispatch (ScanRolloutDriver.collect_and_update_many;
     # also a Trainer knob).  Amortizes the per-dispatch host overhead.
     chunk = max(1, int(os.environ.get("BENCH_CHUNK", 1)))
@@ -105,9 +118,9 @@ def main() -> None:
         sampler_mini_batches=4,
         normalize_observation=True,
         # Documented TPU perf knobs: per-rollout statistics folding (1-iteration
-        # lag) and no original_* buffer copies.
-        defer_normalization_updates=True,
-        store_original_observations=False,
+        # lag) and no original_* buffer copies.  BENCH_PARITY=1 turns both off.
+        defer_normalization_updates=not parity,
+        store_original_observations=parity,
         desired_kl_divergence=0.01,
         # Evaluate actor+critic backbones as one stacked matmul chain in the
         # update (gradient-equivalent; tests/test_joint_eval.py).

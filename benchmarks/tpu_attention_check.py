@@ -84,6 +84,7 @@ def main():
         defer_normalization_updates=True,
         store_original_observations=False,
         desired_kl_divergence=0.01,
+        fuse_actor_critic_evaluation=os.environ.get("ATTN_FUSE_EVAL", "0") == "1",
     )
     agent = factory(env.spec)
     driver = ScanRolloutDriver(agent, env)

@@ -56,6 +56,7 @@ def ppo_hook_suite(
     max_kl_divergence: float | None = None,
     fuse_actor_critic_evaluation: bool = False,
     fused_ppo_update: bool = False,
+    recurrent_backbones: bool = False,
 ) -> list[Hook]:
     if fused_ppo_update:
         # One Pallas kernel computes surrogate + value loss + their analytic
@@ -71,8 +72,16 @@ def ppo_hook_suite(
             )
         ]
     else:
+        if not fuse_actor_critic_evaluation:
+            joint_eval = None
+        elif recurrent_backbones:
+            from cusrl_tpu.hook.on_policy.joint_seq_eval import JointSequentialEvaluation
+
+            joint_eval = JointSequentialEvaluation()
+        else:
+            joint_eval = JointPolicyValueEvaluation()
         objective_span = [
-            JointPolicyValueEvaluation() if fuse_actor_critic_evaluation else None,
+            joint_eval,
             ValueLoss(weight=value_loss_weight, loss_clip=value_loss_clip),
             OnPolicyPreparation(),
             PpoSurrogateLoss(clip_ratio=surrogate_clip_ratio, weight=surrogate_loss_weight),
@@ -177,7 +186,12 @@ class PpoAgentFactory(AgentFactory):
             max_kl_divergence=self.max_kl_divergence,
             fuse_actor_critic_evaluation=self.fuse_actor_critic_evaluation,
             fused_ppo_update=self.fused_ppo_update,
+            recurrent_backbones=self._recurrent_backbones,
         )
+
+    # Subclasses with recurrent backbones flip this so the fused evaluation
+    # uses the vmapped-stack hook (JointSequentialEvaluation).
+    _recurrent_backbones = False
 
     def to_underlying(self) -> ActorCriticFactory:
         return ActorCriticFactory(
@@ -202,6 +216,8 @@ class PpoAgentFactory(AgentFactory):
 @dataclasses.dataclass(kw_only=True)
 class RecurrentPpoAgentFactory(PpoAgentFactory):
     """PPO with recurrent (GRU/LSTM) backbones and temporal sampling."""
+
+    _recurrent_backbones = True
 
     rnn_type: str = "gru"
     rnn_hidden_size: int = 256
@@ -237,6 +253,8 @@ class TransformerPpoAgentFactory(PpoAgentFactory):
     segment resets, banded Pallas kernel in sequence mode) followed by an
     optional MLP head stack.  Temporal sampling engages automatically through
     the recurrent-memory rollout keys."""
+
+    _recurrent_backbones = True
 
     embed_dim: int = 128
     num_heads: int = 4

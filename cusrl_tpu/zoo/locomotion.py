@@ -109,6 +109,9 @@ register_experiment(
         sampler_mini_batches=4,
         normalize_observation=True,
         desired_kl_divergence=0.015,
+        # fuse_actor_critic_evaluation (vmapped actor+critic stack,
+        # joint_seq_eval.py) measured 5% SLOWER here (70.99 vs 67.57 ms/iter
+        # same-session A/B on v5e) — default off; see docs/ROADMAP.md.
     ),
     training_env_factory=VelocityLocomotionEnv,
     training_env_factory_kwargs={"num_instances": 1024},
