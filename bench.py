@@ -19,9 +19,11 @@ import sys
 import time
 
 # Must precede the first jax import (the axon plugin snapshots the env at
-# init): a 32 MB scoped-VMEM limit measured +2.5% on the raw loop
-# (benchmarks/tpu_flag_sweep2.sh, v15 ledger).  BENCH_VMEM_KIB=0 disables.
-_vmem = os.environ.get("BENCH_VMEM_KIB", "32768")
+# init): a 32 MB scoped-VMEM limit measured +2.5% on the RAW loop but ~-1% on
+# the trainer headline (benchmarks/tpu_flag_sweep2.sh + same-session recheck,
+# v15 ledger), so it defaults on only for BENCH_RAW.  BENCH_VMEM_KIB overrides
+# either way (0 disables).
+_vmem = os.environ.get("BENCH_VMEM_KIB", "32768" if os.environ.get("BENCH_RAW", "0") == "1" else "0")
 if _vmem != "0" and "LIBTPU_INIT_ARGS" not in os.environ:
     os.environ["LIBTPU_INIT_ARGS"] = f"--xla_tpu_scoped_vmem_limit_kib={_vmem}"
 
