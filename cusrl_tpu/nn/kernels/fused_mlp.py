@@ -41,7 +41,14 @@ __all__ = ["fused_mlp", "fused_mlp_pair", "fused_mlp_pair_heads", "supports_fuse
 _DEFAULT_BLOCK = int(os.environ.get("CUSRL_TPU_FUSED_BLOCK", 2048))
 _DEFAULT_BLOCK_BWD = int(os.environ.get("CUSRL_TPU_FUSED_BLOCK_BWD", 1024))
 
-_SUPPORTED_ACTIVATIONS = ("elu", "relu", "tanh", "identity", "none")
+_SUPPORTED_ACTIVATIONS = ("elu", "relu", "tanh", "gelu", "identity", "none")
+# Activations whose derivative cannot be recovered from the OUTPUT: the
+# kernels save the (bf16-rounded) PRE-activation z for these layers instead,
+# recompute h = act(z) where the next layer's dW needs it (cheap elementwise,
+# bit-identical to the forward), and differentiate from z directly.  Trailing
+# use is unsupported (the final output slot doubles as the primal output).
+_PREACT_ACTIVATIONS = ("gelu",)
+_GELU_C = 0.7978845608028654  # sqrt(2/pi), jax.nn.gelu approximate=True
 
 
 def _act(name: str, z):
@@ -51,6 +58,8 @@ def _act(name: str, z):
         return jax.nn.relu(z)
     if name == "tanh":
         return jnp.tanh(z)
+    if name == "gelu":
+        return jax.nn.gelu(z)  # approximate (tanh) form, the jax default
     return z
 
 
@@ -65,6 +74,8 @@ def _act_kernel(name: str, zb):
         h = jnp.maximum(z, 0.0)
     elif name == "tanh":
         h = jnp.tanh(z)
+    elif name == "gelu":
+        h = 0.5 * z * (1.0 + jnp.tanh(_GELU_C * (z + 0.044715 * z * z * z)))
     else:
         h = z
     return h.astype(jnp.bfloat16)
@@ -84,7 +95,20 @@ def _dact_from_h(name: str, h):
     return jnp.ones_like(h)
 
 
-def supports_fused_mlp(activation: str, num_layers: int) -> bool:
+def _dact_from_z(name: str, z):
+    """Activation derivative from the saved PRE-activation (fp32) — for
+    activations whose derivative is not a function of the output (gelu)."""
+    if name == "gelu":
+        u = _GELU_C * (z + 0.044715 * z * z * z)
+        t = jnp.tanh(u)
+        du = _GELU_C * (1.0 + 3.0 * 0.044715 * z * z)
+        return 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t * t) * du
+    raise ValueError(f"activation '{name}' does not save pre-activations")
+
+
+def supports_fused_mlp(activation: str, num_layers: int, trailing: bool = False) -> bool:
+    if activation in _PREACT_ACTIVATIONS and trailing:
+        return False  # the output slot holds the post-activation primal
     return activation in _SUPPORTED_ACTIVATIONS and num_layers >= 1
 
 
@@ -146,9 +170,10 @@ def _fwd_kernel(activation, trailing, num_layers, save_hiddens, x_ref, *refs):
     for i in range(num_layers):
         z = jnp.dot(h, w_refs[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
         z = (z + b_refs[i][...]).astype(jnp.bfloat16)
+        zb = z
         h = _act_kernel(activation, z) if (i < num_layers - 1 or trailing) else z
         if save_hiddens and i < num_layers - 1:
-            h_refs[i][...] = h
+            h_refs[i][...] = zb if activation in _PREACT_ACTIVATIONS else h
     out_ref[...] = h
 
 
@@ -166,12 +191,19 @@ def _bwd_kernel(activation, trailing, num_layers, x_ref, g_ref, *refs):
             db_refs[i][...] = jnp.zeros(db_refs[i].shape, db_refs[i].dtype)
 
     # Gradient chain over the SAVED activations (no forward recompute).
+    preact = activation in _PREACT_ACTIVATIONS
     d = g_ref[...].astype(jnp.float32)
     for i in reversed(range(num_layers)):
         if i < num_layers - 1 or trailing:
-            d = d * _dact_from_h(activation, h_refs[i][...].astype(jnp.float32))
+            saved = h_refs[i][...].astype(jnp.float32)
+            d = d * (_dact_from_z(activation, saved) if preact else _dact_from_h(activation, saved))
         d_bf = d.astype(jnp.bfloat16)
-        h_in = x_ref[...].astype(jnp.bfloat16) if i == 0 else h_refs[i - 1][...]
+        if i == 0:
+            h_in = x_ref[...].astype(jnp.bfloat16)
+        elif preact and i - 1 < num_layers - 1:
+            h_in = _act_kernel(activation, h_refs[i - 1][...])  # bit-identical to fwd
+        else:
+            h_in = h_refs[i - 1][...]
         dw_refs[i][...] += jax.lax.dot_general(
             h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -383,7 +415,7 @@ def fused_mlp(
     the Pallas kernel on TPU backends and the XLA reference elsewhere.
     """
     activation = activation.lower() if isinstance(activation, str) else activation
-    if not supports_fused_mlp(activation, len(weights)):
+    if not supports_fused_mlp(activation, len(weights), trailing):
         return _reference(x, weights, biases, activation, trailing)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -422,9 +454,10 @@ def _pair_fwd_kernel(activation, trailing, nl, save_hiddens, xa_ref, xc_ref, *re
         for i in range(nl):
             z = jnp.dot(h, ws[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
             z = (z + bs[i][...]).astype(jnp.bfloat16)
+            zb = z
             h = _act_kernel(activation, z) if (i < nl - 1 or trailing) else z
             if save_hiddens and i < nl - 1:
-                h_refs[i][...] = h
+                h_refs[i][...] = zb if activation in _PREACT_ACTIVATIONS else h
         out_ref[...] = h
 
     if save_hiddens:
@@ -457,12 +490,19 @@ def _pair_bwd_kernel(activation, trailing, nl, skip_input_grad, xa_ref, xc_ref, 
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     def chain_bwd(x_ref, g_ref, ws, hs, dx_ref, dws, dbs):
+        preact = activation in _PREACT_ACTIVATIONS
         d = g_ref[...].astype(jnp.float32)
         for i in reversed(range(nl)):
             if i < nl - 1 or trailing:
-                d = d * _dact_from_h(activation, hs[i][...].astype(jnp.float32))
+                saved = hs[i][...].astype(jnp.float32)
+                d = d * (_dact_from_z(activation, saved) if preact else _dact_from_h(activation, saved))
             d_bf = d.astype(jnp.bfloat16)
-            h_in = x_ref[...].astype(jnp.bfloat16) if i == 0 else hs[i - 1][...]
+            if i == 0:
+                h_in = x_ref[...].astype(jnp.bfloat16)
+            elif preact and i - 1 < nl - 1:
+                h_in = _act_kernel(activation, hs[i - 1][...])
+            else:
+                h_in = hs[i - 1][...]
             dws[i][...] += jax.lax.dot_general(
                 h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -781,9 +821,10 @@ def _pair_heads_fwd_kernel(activation, trailing, nl, save, xa_ref, xc_ref, *refs
         for i in range(nl):
             z = jnp.dot(h, ws[i][...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
             z = (z + bs[i][...]).astype(jnp.bfloat16)
+            zb = z
             h = _act_kernel(activation, z) if (i < nl - 1 or trailing) else z
             if save and i < nl - 1:
-                h_refs[i][...] = h
+                h_refs[i][...] = zb if activation in _PREACT_ACTIVATIONS else h
         return h
 
     la = chain(xa_ref, wa, ba, ha_refs)
@@ -851,11 +892,18 @@ def _pair_heads_bwd_kernel(
         )
 
     def chain_bwd(x_ref, d, ws, hs, dx_ref, dws, dbs):
+        preact = activation in _PREACT_ACTIVATIONS
         for i in reversed(range(nl)):
             if i < nl - 1 or trailing:
-                d = d * _dact_from_h(activation, hs[i][...].astype(jnp.float32))
+                saved = hs[i][...].astype(jnp.float32)
+                d = d * (_dact_from_z(activation, saved) if preact else _dact_from_h(activation, saved))
             d_bf = d.astype(jnp.bfloat16)
-            h_in = x_ref[...].astype(jnp.bfloat16) if i == 0 else hs[i - 1][...]
+            if i == 0:
+                h_in = x_ref[...].astype(jnp.bfloat16)
+            elif preact and i - 1 < nl - 1:
+                h_in = _act_kernel(activation, hs[i - 1][...])
+            else:
+                h_in = hs[i - 1][...]
             dws[i][...] += jax.lax.dot_general(
                 h_in, d_bf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )

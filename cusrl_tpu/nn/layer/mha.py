@@ -238,7 +238,39 @@ class FeedForward(Module):
             glu=glu,
         )
 
+    def _can_fuse(self, x) -> bool:
+        """Non-GLU FFN = a 2-layer MLP chain: route large-batch TPU calls
+        through the fused Pallas kernel (nn/kernels/fused_mlp.py — gelu saves
+        pre-activations for its backward).  Mirrors Mlp._can_fuse."""
+        from cusrl_tpu.nn.kernels.fused_mlp import kernel_mesh_status, supports_fused_mlp
+
+        if self.glu or x.ndim < 2:
+            return False
+        rows = 1
+        for dim in x.shape[:-1]:
+            rows *= dim
+        if rows < 256 or jax.default_backend() != "tpu":
+            return False
+        allowed, _ = kernel_mesh_status(rows)
+        return (
+            allowed
+            and supports_fused_mlp(self.activation, 2, False)
+            and all(l.compute_dtype == "bfloat16" and l.bias is not None for l in (self.up, self.down))
+        )
+
     def __call__(self, x):
+        if self._can_fuse(x):
+            from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp
+
+            batch_shape = x.shape[:-1]
+            out = fused_mlp(
+                x.reshape(-1, x.shape[-1]),
+                (self.up.weight.T, self.down.weight.T),
+                (self.up.bias[None, :], self.down.bias[None, :]),
+                self.activation,
+                False,
+            )
+            return out.reshape(*batch_shape, out.shape[-1])  # bf16, same as the unfused chain
         h = self.up(x)
         if self.glu:
             a, b = jnp.split(h, 2, axis=-1)

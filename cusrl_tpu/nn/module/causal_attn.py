@@ -217,12 +217,22 @@ class CausalMultiheadSelfAttention(Module):
             # hit the same floor and was removed once lane superseded it) and
             # by padded-score HBM materialization.  Long sequences go to the
             # banded flash kernel; otherwise the batched masked SDPA.
-            if t_len <= 64 and jax.default_backend() == "tpu":
+            # Pallas custom calls do not auto-partition over NamedShardings:
+            # under any ambient mesh the auto path keeps the XLA chain (the
+            # same rule as the fused-MLP kernels; explicit sequence_mode
+            # overrides are the user's responsibility).
+            in_mesh = False
+            try:
+                amb = jax.sharding.get_abstract_mesh()
+                in_mesh = amb is not None and not getattr(amb, "empty", True)
+            except Exception:  # noqa: BLE001 - conservative under exotic contexts
+                in_mesh = False
+            if t_len <= 64 and jax.default_backend() == "tpu" and not in_mesh:
                 mode = "lane"
             else:
                 block = min(128, -(-t_len // 8) * 8)
                 band = (1 + -(-window // block)) * block
-                mode = "banded" if band * 2 <= window + t_len else "batched"
+                mode = "banded" if (band * 2 <= window + t_len and not in_mesh) else "batched"
         if mode in ("banded", "lane"):
             return self._sequence_kernel(x, memory, done, kernel=mode)
         if mode == "batched":

@@ -63,11 +63,23 @@ class Distribution(Module):
     def compute_logp(self, dist_params: dict[str, jax.Array], sample: jax.Array) -> jax.Array:
         raise NotImplementedError
 
-    def compute_entropy(self, dist_params: dict[str, jax.Array]) -> jax.Array:
-        raise NotImplementedError
+    def compute_entropy(self, dist_params: dict[str, jax.Array], key: jax.Array | None = None) -> jax.Array:
+        """Single-sample Monte-Carlo fallback (counterpart of the reference
+        base's default, cusrl/nn/module/distribution.py:121-139): subclasses
+        with closed forms override.  Pure-functional twist: pass ``key`` for a
+        fresh estimate; without one a fixed key keeps the estimate
+        deterministic per parameters (the torch reference draws from its
+        global RNG instead)."""
+        _, logp = self.sample(dist_params, jax.random.key(0) if key is None else key)
+        return -logp
 
-    def compute_kl_div(self, p: dict[str, jax.Array], q: dict[str, jax.Array]) -> jax.Array:
-        raise NotImplementedError
+    def compute_kl_div(
+        self, p: dict[str, jax.Array], q: dict[str, jax.Array], key: jax.Array | None = None
+    ) -> jax.Array:
+        """Single-sample MC fallback KL(p||q) (reference distribution.py:140-159)."""
+        sample, logp = self.sample(p, jax.random.key(0) if key is None else key)
+        logq = self.compute_logp(q, sample)
+        return logp - logq
 
     def determine(self, backbone_feat: jax.Array, **kwargs) -> jax.Array:
         return self.mean_head(backbone_feat.astype(jnp.float32))

@@ -72,7 +72,7 @@ class Mlp(Module):
             and rows >= 256
             and jax.default_backend() == "tpu"
             and _mesh_allows_kernel(rows)
-            and supports_fused_mlp(self.activation, len(self.layers))
+            and supports_fused_mlp(self.activation, len(self.layers), self.ends_with_activation)
             and all(l.compute_dtype == "bfloat16" and l.bias is not None for l in self.layers)
         )
 

@@ -22,7 +22,7 @@ def make_params(key, dims):
     return tuple(ws), tuple(bs)
 
 
-@pytest.mark.parametrize("activation", ["elu", "relu", "tanh"])
+@pytest.mark.parametrize("activation", ["elu", "relu", "tanh", "gelu"])
 @pytest.mark.parametrize("trailing", [True, False])
 def test_fused_mlp_forward_matches_reference(activation, trailing):
     dims = (24, 64, 32)
@@ -36,7 +36,7 @@ def test_fused_mlp_forward_matches_reference(activation, trailing):
     )
 
 
-@pytest.mark.parametrize("activation", ["elu", "tanh"])
+@pytest.mark.parametrize("activation", ["elu", "tanh", "gelu"])
 def test_fused_mlp_gradients_match_reference(activation):
     dims = (24, 64, 32)
     ws, bs = make_params(jax.random.key(2), dims)
@@ -314,3 +314,45 @@ def test_fused_mlp_pair_heads_primal_latent_unpadded():
     )
     assert mean.shape[0] == 40 and value.shape[0] == 40
     assert latent.shape[0] == 40
+
+
+def test_gelu_trailing_falls_back_to_reference():
+    """gelu saves pre-activations, which the trailing-output slot cannot hold:
+    supports_fused_mlp must reject it so fused_mlp routes to the XLA chain."""
+    from cusrl_tpu.nn.kernels.fused_mlp import supports_fused_mlp
+
+    assert supports_fused_mlp("gelu", 2, False)
+    assert not supports_fused_mlp("gelu", 2, True)
+    dims = (8, 16, 8)
+    ws, bs = make_params(jax.random.key(7), dims)
+    x = jax.random.normal(jax.random.key(8), (64, dims[0]), jnp.float32)
+    got = fused_mlp(x, ws, bs, "gelu", True, use_pallas=True, block_rows=32, interpret=True)
+    expected = _reference(x, ws, bs, "gelu", True)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(expected, np.float32), atol=2e-2, rtol=2e-2)
+
+
+def test_feedforward_fused_path_matches_unfused(monkeypatch):
+    """FeedForward routes through the fused kernel on TPU; force the guard on
+    CPU (interpret) and compare against the plain up->gelu->down chain."""
+    from cusrl_tpu.nn.layer import mha as mha_mod
+    from cusrl_tpu.nn.layer.mha import FeedForward
+
+    ff = FeedForward.init(jax.random.key(9), 32, 64, compute_dtype="bfloat16")
+    x = jax.random.normal(jax.random.key(10), (300, 32), jnp.bfloat16)
+
+    plain = ff.replace(glu=False)
+    assert not plain._can_fuse(x) or jax.default_backend() == "tpu"  # CPU: guard off
+    unfused = plain(x)
+
+    monkeypatch.setattr(FeedForward, "_can_fuse", lambda self, _x: True)
+    import cusrl_tpu.nn.kernels.fused_mlp as fm
+
+    orig = fm.fused_mlp
+    monkeypatch.setattr(
+        fm, "fused_mlp",
+        lambda *a, **k: orig(*a, **{**k, "use_pallas": True, "interpret": True, "block_rows": 64}),
+    )
+    fused = plain(x)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(unfused, np.float32), atol=3e-2, rtol=3e-2
+    )

@@ -150,14 +150,20 @@ def test_training_equivalence_bf16_loose():
     np.testing.assert_allclose(w_fused, w_plain, atol=8e-3, rtol=0)
 
 
-def test_rejects_recurrent_backbones():
+def test_recurrent_backbones_use_sequential_joint_eval():
+    # Round 4: recurrent presets route fuse_actor_critic_evaluation to the
+    # vmapped-stack hook (JointSequentialEvaluation) instead of rejecting.
     cusrl_tpu.set_global_seed(0)
     env = VelocityLocomotionEnv(num_instances=8, observation_dim=16, action_dim=4, seed=1)
     factory = cusrl_tpu.RecurrentPpoAgentFactory(
-        num_steps_per_update=8, fuse_actor_critic_evaluation=True
+        num_steps_per_update=8, rnn_hidden_size=16, mlp_hidden_dims=(16,),
+        fuse_actor_critic_evaluation=True,
     )
-    with pytest.raises(ValueError, match="fusable"):
-        factory(env.spec)
+    agent = factory(env.spec)
+    _, hook = find_hook(agent.state.hooks, "joint_sequential_evaluation")
+    from cusrl_tpu.hook.on_policy.joint_seq_eval import JointSequentialEvaluation
+
+    assert isinstance(hook, JointSequentialEvaluation)
 
 
 def test_rejects_mismatched_shapes():
