@@ -258,6 +258,15 @@ class CausalMultiheadSelfAttention(Module):
         """Pallas flash paths (banded / lane): same mask semantics as
         ``_sequence_batched`` (tests/test_banded_attention.py,
         tests/test_lane_attention.py) with only the non-empty band computed."""
+        import os
+
+        # CUSRL_TPU_LANE_EM=1: env-minor end-to-end variant of the lane path.
+        # Measured 1.7 ms/iter SLOWER at the bench config (69.41 vs 67.74,
+        # same-session A/B) — XLA schedules the wrapper's transposes better
+        # than the [3E, C]@[C, T·B] projection layouts.  Kept default-off for
+        # larger-embed/multi-layer configs (docs/ROADMAP.md option ledger).
+        if kernel == "lane" and self.mha.q_norm is None and os.environ.get("CUSRL_TPU_LANE_EM", "0") == "1":
+            return self._sequence_lane_em(x, memory, done)
         t_len, batch = x.shape[:2]
         window = self.window
         q, k_rot, v_all, k_raw, cache_mask, _, _ = self._sequence_qkv(x, memory)
@@ -281,6 +290,133 @@ class CausalMultiheadSelfAttention(Module):
         outputs = jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
 
         new_memory = self._final_memory(k_raw, v_all, k_valid, k_seg, seg, done2, memory)
+        return outputs, new_memory, {}
+
+    def _rope_em(self, x_em, positions):
+        """RoPE in env-minor layout: ``x_em [H, D, L, B]``, positions ``[L]``.
+        Same half-split pairing as RotaryEmbedding (fp32 internals)."""
+        rope = self.mha.rope
+        if rope is None:
+            return x_em
+        angles = rope._angles(positions)  # [L, half]
+        cos = jnp.cos(angles).T[None, :, :, None]  # [1, half, L, 1]
+        sin = jnp.sin(angles).T[None, :, :, None]
+        half = x_em.shape[1] // 2
+        x32 = x_em.astype(jnp.float32)
+        x1, x2 = x32[:, :half], x32[:, half:]
+        rotated = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=1)
+        return rotated.astype(x_em.dtype)
+
+    def _sequence_lane_em(self, x, memory, done):
+        """Env-minor end-to-end lane path: projections write ``[H, D, T, B]``
+        directly (one ``[C, T·B]`` input transpose feeds q/k/v as a single
+        matmul; the out-projection consumes ``[E, T·B]`` and one transpose
+        restores ``[T, B, E]``).  The generic path's per-tensor
+        transpose/split/squeeze soup around the kernel traced at ~8 ms/iter
+        at the bench config.  Same math as the wrapper path (covered by the
+        lane/scan consistency tests)."""
+        from cusrl_tpu.nn.kernels.lane_attention import _lane_em_op, _round_up
+
+        t_len, batch = x.shape[:2]
+        window = self.window
+        mha = self.mha
+        heads = mha.num_heads
+        embed = self.input_dim
+        head_dim = embed // heads
+
+        # Fused q/k/v projection straight into env-minor layout (weights are
+        # stored [out, in], so the concat IS the left-multiplier).
+        w = jnp.concatenate([mha.q_proj.weight, mha.k_proj.weight, mha.v_proj.weight], axis=0)
+        bias = None
+        if any(p.bias is not None for p in (mha.q_proj, mha.k_proj, mha.v_proj)):
+            bias = jnp.concatenate(
+                [p.bias if p.bias is not None else jnp.zeros(embed, jnp.float32)
+                 for p in (mha.q_proj, mha.k_proj, mha.v_proj)]
+            )
+        xt = x.reshape(t_len * batch, x.shape[-1]).T  # [C, T·B]
+        dtype = mha.q_proj.compute_dtype
+        if dtype is not None:
+            dtype = jnp.dtype(dtype)
+            h = jnp.dot(w.astype(dtype), xt.astype(dtype), preferred_element_type=jnp.float32)
+            if bias is not None:
+                h = h + bias[:, None]
+            h = h.astype(dtype)
+        else:
+            h = jnp.dot(w, xt.astype(jnp.float32), preferred_element_type=jnp.float32)
+            if bias is not None:
+                h = h + bias[:, None]
+        qkv = h.reshape(3, heads, head_dim, t_len, batch)
+        q_em, k_seq, v_seq = qkv[0], qkv[1], qkv[2]
+
+        # Chronological cache in env-minor layout.
+        k_cache, v_cache, cache_mask = self._unrolled_cache(memory)  # [B, H, W, D]
+        kc_em = jnp.transpose(k_cache, (1, 3, 2, 0))  # [H, D, W, B]
+        vc_em = jnp.transpose(v_cache, (1, 3, 2, 0))
+        promo = jnp.promote_types(kc_em.dtype, k_seq.dtype)
+        k_raw = jnp.concatenate([kc_em.astype(promo), k_seq.astype(promo)], axis=2)  # [H, D, S, B]
+        v_all = jnp.concatenate([vc_em.astype(promo), v_seq.astype(promo)], axis=2)
+
+        q_pos = window + jnp.arange(t_len)
+        kv_pos = jnp.arange(window + t_len)
+        q_em = self._rope_em(q_em, q_pos)
+        k_rot = self._rope_em(k_raw, kv_pos)
+
+        done2, seg = self._segments(done, t_len, batch)  # seg [T, B]
+        t8 = _round_up(t_len, 8)
+        s8 = window + t8
+        b_pad = _round_up(batch, 128)
+        s_len = window + t_len
+
+        def pad_em(a, time_to):
+            return jnp.pad(a, ((0, 0), (0, 0), (0, time_to - a.shape[2]), (0, b_pad - batch)))
+
+        q_seg_em = jnp.pad(seg.astype(jnp.int32), ((0, t8 - t_len), (0, b_pad - batch)), constant_values=-2)
+        k_seg_full = jnp.concatenate([jnp.zeros((window, batch), jnp.int32), seg], axis=0)  # [S, B]
+        k_seg_em = jnp.pad(k_seg_full, ((0, s8 - s_len), (0, b_pad - batch)), constant_values=-1)
+        k_valid_full = jnp.concatenate(
+            [(jnp.swapaxes(cache_mask, 0, 1) > 0.5).astype(jnp.int32), jnp.ones((t_len, batch), jnp.int32)],
+            axis=0,
+        )
+        k_valid_em = jnp.pad(k_valid_full, ((0, s8 - s_len), (0, b_pad - batch)))
+
+        slopes = alibi_slopes(heads) if self.use_alibi else None
+        slopes_t = None if slopes is None else tuple(float(s) for s in jax.device_get(slopes))
+        out_em = _lane_em_op(
+            pad_em(q_em, t8), pad_em(k_rot, s8), pad_em(v_all, s8),
+            q_seg_em, k_seg_em, k_valid_em, window, slopes_t, 128,
+        )  # [H, D, T8, Bp] fp32
+
+        # Out-projection in env-minor layout; one transpose back to [T, B, E].
+        out_flat = out_em[:, :, :t_len, :batch].reshape(embed, t_len * batch)
+        op = mha.out_proj
+        if op.compute_dtype is not None:
+            odt = jnp.dtype(op.compute_dtype)
+            y = jnp.dot(op.weight.astype(odt), out_flat.astype(odt), preferred_element_type=jnp.float32)
+            if op.bias is not None:
+                y = y + op.bias[:, None]
+            y = y.astype(odt)
+        else:
+            y = jnp.dot(op.weight, out_flat.astype(jnp.float32), preferred_element_type=jnp.float32)
+            if op.bias is not None:
+                y = y + op.bias[:, None]
+        outputs = y.T.reshape(t_len, batch, embed)
+
+        # Final ring memory from the last W+1 combined tokens.
+        slots = self._ring_slots
+        k_tail = jnp.transpose(k_raw[:, :, -slots:], (3, 0, 2, 1))  # [B, H, P, D]
+        v_tail = jnp.transpose(v_all[:, :, -slots:], (3, 0, 2, 1))
+        k_valid_nt = jnp.swapaxes(k_valid_full, 0, 1)  # [B, S]
+        k_seg_nt = jnp.swapaxes(k_seg_full, 0, 1)
+        final_seg = seg[-1] + done2[-1].astype(jnp.int32)
+        final_valid = (k_valid_nt > 0) & (k_seg_nt == final_seg[:, None])
+        new_memory = {
+            "k_cache": jax.lax.stop_gradient(k_tail.astype(memory["k_cache"].dtype)),
+            "v_cache": jax.lax.stop_gradient(v_tail.astype(memory["v_cache"].dtype)),
+            "cache_mask": jax.lax.stop_gradient(
+                final_valid[:, -slots:].astype(memory["cache_mask"].dtype)
+            ),
+            "cursor": jnp.broadcast_to(jnp.zeros((), jnp.int32), memory["cursor"].shape),
+        }
         return outputs, new_memory, {}
 
     def _sequence_batched(self, x, memory, done):

@@ -80,6 +80,32 @@ def test_lane_kernel_invalid_rows_zero():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_lane_em_variant_matches_scan_mode(monkeypatch):
+    """The default-off env-minor lane path (CUSRL_TPU_LANE_EM=1) must produce
+    the same outputs/memory as the scan cell."""
+    monkeypatch.setenv("CUSRL_TPU_LANE_EM", "1")
+    from tests.test_attention import make_layer
+
+    layer = make_layer(embed_dim=32, num_heads=4, window=6, compute_dtype=None)
+    attn = layer.attention
+    lane_attn = attn.replace(sequence_mode="lane")
+    scan_attn = attn.replace(sequence_mode="scan")
+
+    t, n = 10, 4
+    x = jax.random.normal(jax.random.key(70), (t, n, attn.input_dim))
+    done = jax.random.uniform(jax.random.key(71), (t, n, 1)) < 0.25
+    memory = attn.init_memory(n)
+    for s in range(2):
+        _, memory, _ = attn(jax.random.normal(jax.random.key(80 + s), (n, attn.input_dim)), memory)
+
+    out_l, mem_l, _ = lane_attn(x, memory, sequential=True, done=done)
+    out_s, mem_s, _ = scan_attn(x, memory, sequential=True, done=done)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_s), atol=1e-5)
+    _, _, mask_l = attn._unrolled_cache(mem_l)
+    _, _, mask_s = attn._unrolled_cache(mem_s)
+    np.testing.assert_allclose(np.asarray(mask_l), np.asarray(mask_s), atol=1e-6)
+
+
 def test_lane_sequence_mode_matches_scan_mode():
     """Module-level: sequence_mode='lane' must reproduce the scan cell."""
     from tests.test_attention import make_layer
