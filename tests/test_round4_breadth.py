@@ -189,3 +189,48 @@ def test_find_trial_cli_prints_paths(tmp_path, capsys):
         find_trial.main(args, [])
         out = capsys.readouterr().out.strip()
         assert expect in out
+
+
+# -- registry / preset wiring ---------------------------------------------------
+
+
+def test_transformer_zoo_entry_registered():
+    from cusrl_tpu.zoo.registry import get_experiment
+
+    spec = get_experiment("Velocity-Flat", "transformer_ppo")
+    factory = spec.agent_meta_factory(**spec.agent_meta_factory_kwargs)
+    assert factory.embed_dim == 128 and factory.attention_window == 16
+
+
+def test_ppo_hook_suite_joint_eval_dispatch():
+    from cusrl_tpu.hook.on_policy.joint_eval import JointPolicyValueEvaluation
+    from cusrl_tpu.hook.on_policy.joint_seq_eval import JointSequentialEvaluation
+    from cusrl_tpu.preset.ppo import ppo_hook_suite
+
+    names = lambda hooks: [type(h).__name__ for h in hooks]
+    assert "JointPolicyValueEvaluation" not in names(ppo_hook_suite())
+    mlp = ppo_hook_suite(fuse_actor_critic_evaluation=True)
+    assert any(isinstance(h, JointPolicyValueEvaluation) for h in mlp)
+    seq = ppo_hook_suite(fuse_actor_critic_evaluation=True, recurrent_backbones=True)
+    assert any(isinstance(h, JointSequentialEvaluation) for h in seq)
+
+
+def test_rollout_memory_entries_protocol_defaults():
+    from cusrl_tpu.hook.on_policy.value import ValueComputation
+    from cusrl_tpu.template.hook import Hook
+
+    assert Hook().rollout_memory_entries() == {}
+    # Deferred (feedforward) value computation exposes no per-step memory.
+    assert ValueComputation(deferred=True).rollout_memory_entries() == {}
+
+
+def test_lane_window_attention_cpu_default_uses_reference():
+    # On non-TPU backends use_pallas=None routes to the XLA reference (fully
+    # differentiable, no interpret overhead) — the production CPU path.
+    from cusrl_tpu.nn.kernels.lane_attention import _lane_reference, lane_window_attention
+    from tests.test_lane_attention import make_raw
+
+    q, k, v, q_seg, k_seg, k_valid = make_raw()
+    got = lane_window_attention(q, k, v, q_seg, k_seg, k_valid, window=4)
+    ref = _lane_reference(q, k, v, q_seg, k_seg, k_valid, 4, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
