@@ -83,6 +83,14 @@ def run_trainer_mode(num_envs: int, steps_per_update: int, warmup_iters: int, ti
 def main() -> None:
     import jax
 
+    from cusrl_tpu.utils.config import enable_compilation_cache
+
+    # Persistent executable cache: the first bench invocation of a session pays
+    # the multi-minute tunnel compile; later invocations of the same program
+    # load from ~/.cache/cusrl_tpu/xla_cache (CUSRL_TPU_COMPILATION_CACHE_DIR
+    # overrides; "0" disables).
+    enable_compilation_cache()
+
     # PRNG implementation (BENCH_PRNG=rbg|threefry2x32, default rbg): threefry
     # is the jax default but costs real VPU time per rollout step on TPU; rbg
     # uses the hardware RNG path (measured +0.3M steps/s).  Affects random

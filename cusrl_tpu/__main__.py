@@ -23,6 +23,12 @@ if os.environ.get("JAX_PLATFORMS"):
 
 from cusrl_tpu.cli import benchmark, export, find_trial, list_experiments, play, train
 from cusrl_tpu.utils.cli_utils import split_cli_overrides
+from cusrl_tpu.utils.config import enable_compilation_cache
+
+# Persistent XLA compilation cache (reference keeps per-rank compiler cache
+# dirs, cusrl/utils/config.py:121-146).  Must land before the first jit —
+# module import time is the earliest point every subcommand passes through.
+enable_compilation_cache()
 
 _COMMANDS = {
     "train": train,

@@ -21,7 +21,14 @@ from typing import TYPE_CHECKING, Any
 if TYPE_CHECKING:
     import jax
 
-__all__ = ["CONFIG", "RuntimeConfig", "configure_distributed", "device_count", "mesh"]
+__all__ = [
+    "CONFIG",
+    "RuntimeConfig",
+    "configure_distributed",
+    "device_count",
+    "enable_compilation_cache",
+    "mesh",
+]
 
 
 def _env_int(name: str, default: int | None = None) -> int | None:
@@ -147,6 +154,47 @@ def configure_distributed(timeout_s: int = 300) -> None:
             initialization_timeout=timeout_s,
         )
     CONFIG._distributed_initialized = True
+
+
+_DISABLE_VALUES = ("", "0", "off", "none", "disabled")
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Wires JAX's persistent compilation cache (counterpart of the reference's
+    per-rank compiler cache dirs, cusrl/utils/config.py:121-146).
+
+    First compiles over a remote-TPU tunnel take minutes; caching the serialized
+    executables makes every later invocation of the same program near-instant.
+    Unlike torchinductor/triton caches, JAX's persistent cache is content-
+    addressed and safe for concurrent writers, so one shared per-host directory
+    replaces the reference's per-rank scheme.
+
+    Resolution order: explicit ``cache_dir`` argument →
+    ``CUSRL_TPU_COMPILATION_CACHE_DIR`` env var ("0"/"off" disables) →
+    ``~/.cache/cusrl_tpu/xla_cache``.  MUST run before the first jit compile
+    (config flips after a compile do not retroactively cache it); callers are
+    the CLI dispatcher, bench.py, and the dryrun entry.  Returns the directory
+    used, or None when disabled.
+    """
+    env = os.environ.get("CUSRL_TPU_COMPILATION_CACHE_DIR")
+    if env is not None:
+        if env.strip().lower() in _DISABLE_VALUES:
+            return None
+        cache_dir = env
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "cusrl_tpu", "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything that took >=1 s to compile (the tiny CPU-test programs
+    # stay out; every real TPU program over the tunnel is far above this).
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ.get("CUSRL_TPU_CACHE_MIN_COMPILE_SECS", "1.0")),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
 
 
 def device_count() -> int:
