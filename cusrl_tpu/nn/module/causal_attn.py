@@ -292,6 +292,53 @@ class CausalMultiheadSelfAttention(Module):
         new_memory = self._final_memory(k_raw, v_all, k_valid, k_seg, seg, done2, memory)
         return outputs, new_memory, {}
 
+    def sequence_core(self, qkv_flat, memory, done, t_len: int, batch: int):
+        """Attention middle for the fused-block path: pre-projected fused
+        ``qkv_flat [T·N, 3E]`` (bf16, pre-RoPE) in, merged-heads attention out
+        ``[T·N, E]`` fp32 (NO out-projection — that lives in the post kernel,
+        nn/kernels/fused_block.py) plus the ring-form final memory.
+
+        Same mask/cache semantics as ``_sequence_kernel`` (which projects
+        internally); kernel choice is lane for short T, banded otherwise.
+        """
+        window = self.window
+        heads = self.mha.num_heads
+        head_dim = self.input_dim // heads
+        qkv = qkv_flat.reshape(t_len, batch, 3, heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 1, 3, 0, 4))  # [3, N, H, T, D]
+        q, k_seq, v_seq = qkv[0], qkv[1], qkv[2]
+        q_pos = window + jnp.arange(t_len)
+        kv_pos = jnp.arange(window + t_len)
+        if self.mha.rope is not None:
+            q = self.mha.rope(q, q_pos)
+
+        k_cache, v_cache, cache_mask = self._unrolled_cache(memory)
+        promo = jnp.promote_types(k_cache.dtype, k_seq.dtype)
+        k_raw = jnp.concatenate([k_cache.astype(promo), k_seq.astype(promo)], axis=2)
+        v_all = jnp.concatenate([v_cache.astype(promo), v_seq.astype(promo)], axis=2)
+        k_rot = self.mha.rope_k(k_raw, kv_pos)
+
+        done2, seg = self._segments(done, t_len, batch)
+        q_seg = jnp.swapaxes(seg, 0, 1)  # [N, T]
+        k_seg = jnp.concatenate([jnp.zeros((batch, window), jnp.int32), q_seg], axis=1)
+        k_valid = jnp.concatenate(
+            [(cache_mask > 0.5).astype(jnp.int32), jnp.ones((batch, t_len), jnp.int32)], axis=1
+        )
+        slopes = alibi_slopes(heads) if self.use_alibi else None
+
+        if t_len <= 64:
+            from cusrl_tpu.nn.kernels.lane_attention import lane_window_attention
+
+            out = lane_window_attention(q, k_rot, v_all, q_seg, k_seg, k_valid, window=window, slopes=slopes)
+        else:
+            from cusrl_tpu.nn.kernels import banded_window_attention
+
+            out = banded_window_attention(q, k_rot, v_all, q_seg, k_seg, k_valid, window=window, slopes=slopes)
+        merged = self.mha._merge(out)  # [N, T, E] fp32
+        merged_flat = jnp.swapaxes(merged, 0, 1).reshape(t_len * batch, self.input_dim)
+        new_memory = self._final_memory(k_raw, v_all, k_valid, k_seg, seg, done2, memory)
+        return merged_flat, new_memory
+
     def _rope_em(self, x_em, positions):
         """RoPE in env-minor layout: ``x_em [H, D, L, B]``, positions ``[L]``.
         Same half-split pairing as RotaryEmbedding (fp32 internals)."""
@@ -517,7 +564,98 @@ class CausalTransformerEncoderLayer(Module):
             h = self.gate2(h, self.feed_forward(h))
         return h, new_memory
 
+    def _fused_block_mode(self) -> str:
+        """CUSRL_TPU_FUSED_BLOCK: 1 (auto, default) engages the fused-block
+        kernels on TPU outside meshes; 0 disables; "force" engages everywhere
+        (interpret-mode kernels off-TPU — the CPU test hook)."""
+        import os
+
+        return os.environ.get("CUSRL_TPU_FUSED_BLOCK", "1").lower()
+
+    def _fused_eligible(self, x, sequential: bool) -> bool:
+        """The fused transformer-block kernels cover the preset configuration:
+        pre-norm, residual gates, fused-projection-friendly Linears (bf16 with
+        bias), no QK-norm, supported FFN activation, large sequence batches.
+        Anything else keeps the modular path."""
+        mode = self._fused_block_mode()
+        if mode == "0" or not sequential or x.ndim != 3:
+            return False
+        if self.norm_mode != "pre" or self.input_proj is None:
+            return False
+        from cusrl_tpu.nn.layer.gate import ResidualGate
+
+        if not (isinstance(self.gate1, ResidualGate) and isinstance(self.gate2, ResidualGate)):
+            return False
+        attn = self.attention
+        if attn.mha.q_norm is not None or attn.sequence_mode not in ("auto", "lane", "banded"):
+            return False
+        ff = self.feed_forward
+        if ff.glu:
+            return False
+        from cusrl_tpu.nn.kernels.fused_block import supports_fused_block
+        from cusrl_tpu.nn.kernels.fused_mlp import kernel_mesh_status
+
+        if not supports_fused_block(ff.activation):
+            return False
+        mha = attn.mha
+        linears = (self.input_proj, mha.q_proj, mha.k_proj, mha.v_proj, mha.out_proj, ff.up, ff.down)
+        if not all(l.compute_dtype == "bfloat16" and l.bias is not None for l in linears):
+            return False
+        rows = x.shape[0] * x.shape[1]
+        if mode == "force":
+            return True
+        if rows < 256 or jax.default_backend() != "tpu":
+            return False
+        # Under any ambient mesh fall back to the modular path (which itself
+        # falls back to the XLA chain) — Pallas custom calls do not partition
+        # over NamedShardings; pure-DP shard_map wrapping of the whole block is
+        # the pre/post ops' own concern when engaged explicitly.
+        return kernel_mesh_status(rows) == (True, None)
+
+    def _fused_sequence(self, x, memory, done):
+        """Whole-layer sequence path via the fused-block kernels: every matmul
+        and LayerNorm of the block runs inside two Pallas programs bracketing
+        the attention kernel (nn/kernels/fused_block.py)."""
+        from cusrl_tpu.nn.kernels.fused_block import fused_block_pre, fused_block_post
+
+        t_len, batch = x.shape[:2]
+        rows = t_len * batch
+        attn = self.attention
+        mha = attn.mha
+        force = self._fused_block_mode() == "force"
+        interpret = force and jax.default_backend() != "tpu"
+        use_pallas = True if force else None
+
+        x_flat = x.reshape(rows, x.shape[-1])
+        w_qkv = jnp.concatenate([mha.q_proj.weight.T, mha.k_proj.weight.T, mha.v_proj.weight.T], axis=1)
+        b_qkv = jnp.concatenate([mha.q_proj.bias, mha.k_proj.bias, mha.v_proj.bias])[None, :]
+        h, qkv = fused_block_pre(
+            x_flat,
+            self.input_proj.weight.T, self.input_proj.bias[None, :],
+            self.norm1.scale[None, :], self.norm1.bias[None, :],
+            w_qkv, b_qkv,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        attn_flat, new_memory = attn.sequence_core(qkv, memory, done, t_len, batch)
+        ff = self.feed_forward
+        out = fused_block_post(
+            attn_flat, h,
+            mha.out_proj.weight.T, mha.out_proj.bias[None, :],
+            self.norm2.scale[None, :], self.norm2.bias[None, :],
+            ff.up.weight.T, ff.up.bias[None, :],
+            ff.down.weight.T, ff.down.bias[None, :],
+            ff.activation,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        return out.reshape(t_len, batch, -1), new_memory, {}
+
     def __call__(self, x, memory: Memory = None, *, sequential: bool = False, done=None, **kwargs):
+        if self._fused_eligible(x, sequential):
+            if memory is None:
+                memory = self.init_memory(x.shape[1])
+            if done is None:
+                done = jnp.zeros((*x.shape[:2], 1), bool)
+            return self._fused_sequence(x, memory, done)
         h = self.input_proj(x) if self.input_proj is not None else x
         h, new_memory = self._block(h, memory, sequential=sequential, done=done)
         return h, new_memory, {}
