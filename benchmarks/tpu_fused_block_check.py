@@ -3,7 +3,7 @@
 1. Correctness at bench shapes: fused-block layer route vs the modular XLA
    path on [T=24, N=1024, 48] (the temporal minibatch), outputs + gradients.
 2. Speed: whole-layer fwd+bwd, fused route vs modular route.
-3. Full transformer bench iteration (honors CUSRL_TPU_FUSED_BLOCK — run the
+3. Full transformer bench iteration (honors CUSRL_TPU_FUSED_TRANSFORMER — run the
    script twice, 0 then 1, to A/B; the persistent compilation cache makes the
    second process cheap).
 
@@ -63,7 +63,7 @@ def layer_probes():
     memory = layer.init_memory(batch)
 
     def run(layer_, fused: bool):
-        os.environ["CUSRL_TPU_FUSED_BLOCK"] = "1" if fused else "0"
+        os.environ["CUSRL_TPU_FUSED_TRANSFORMER"] = "1" if fused else "0"
         out, mem, _ = layer_(x, memory, sequential=True, done=done)
         return out, mem
 
@@ -109,7 +109,7 @@ def layer_probes():
     memw = layer.init_memory(4 * batch)
 
     def primal(layer_, fused):
-        os.environ["CUSRL_TPU_FUSED_BLOCK"] = "1" if fused else "0"
+        os.environ["CUSRL_TPU_FUSED_TRANSFORMER"] = "1" if fused else "0"
         out, _, _ = layer_(xw, memw, sequential=True, done=dw)
         return out
 
@@ -150,7 +150,7 @@ def full_iteration():
     ms, cs = timeit(full_iter, warmup=3, iters=30)
     emit(
         probe="full_iteration",
-        fused_block=os.environ.get("CUSRL_TPU_FUSED_BLOCK", "1"),
+        fused_block=os.environ.get("CUSRL_TPU_FUSED_TRANSFORMER", "1"),
         ms=round(ms, 2),
         steps_per_s=round(T * num_envs / ms * 1e3, 0),
         compile_s=round(cs, 1),

@@ -60,7 +60,7 @@ __all__ = ["fused_block_pre", "fused_block_post", "supports_fused_block"]
 
 _LN_EPS = 1e-6
 _SUPPORTED = ("elu", "relu", "tanh", "gelu", "identity", "none")
-_DEFAULT_BLOCK = int(os.environ.get("CUSRL_TPU_BLOCK_ROWS", 1024))
+_DEFAULT_BLOCK = int(os.environ.get("CUSRL_TPU_TFBLOCK_ROWS", 1024))
 
 
 def supports_fused_block(activation: str) -> bool:

@@ -565,12 +565,12 @@ class CausalTransformerEncoderLayer(Module):
         return h, new_memory
 
     def _fused_block_mode(self) -> str:
-        """CUSRL_TPU_FUSED_BLOCK: 1 (auto, default) engages the fused-block
+        """CUSRL_TPU_FUSED_TRANSFORMER: 1 (auto, default) engages the fused-block
         kernels on TPU outside meshes; 0 disables; "force" engages everywhere
         (interpret-mode kernels off-TPU — the CPU test hook)."""
         import os
 
-        return os.environ.get("CUSRL_TPU_FUSED_BLOCK", "1").lower()
+        return os.environ.get("CUSRL_TPU_FUSED_TRANSFORMER", "1").lower()
 
     def _fused_eligible(self, x, sequential: bool) -> bool:
         """The fused transformer-block kernels cover the preset configuration:

@@ -155,9 +155,9 @@ def test_layer_fused_route_matches_modular_path(monkeypatch, t_len, batch):
     memory["v_cache"] = jnp.ones_like(memory["v_cache"]) * 0.3
     memory["cache_mask"] = memory["cache_mask"].at[:, ::2].set(1.0)
 
-    monkeypatch.setenv("CUSRL_TPU_FUSED_BLOCK", "0")
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "0")
     out_ref, mem_ref, _ = layer(x, memory, sequential=True, done=done)
-    monkeypatch.setenv("CUSRL_TPU_FUSED_BLOCK", "force")
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "force")
     assert layer._fused_eligible(x, True)
     out_fused, mem_fused, _ = layer(x, memory, sequential=True, done=done)
 
@@ -182,9 +182,9 @@ def test_layer_fused_route_grads_match_modular_path(monkeypatch):
         out, _, _ = layer_(x, layer_.init_memory(batch), sequential=True, done=done)
         return jnp.mean(jnp.square(out.astype(jnp.float32) - tgt))
 
-    monkeypatch.setenv("CUSRL_TPU_FUSED_BLOCK", "0")
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "0")
     g_ref = jax.grad(loss)(layer)
-    monkeypatch.setenv("CUSRL_TPU_FUSED_BLOCK", "force")
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "force")
     g_fused = jax.grad(loss)(layer)
 
     ref_leaves = jax.tree_util.tree_flatten_with_path(g_ref)[0]
@@ -202,7 +202,7 @@ def test_layer_fused_route_grads_match_modular_path(monkeypatch):
 
 
 def test_layer_fused_ineligible_configs_fall_back(monkeypatch):
-    monkeypatch.setenv("CUSRL_TPU_FUSED_BLOCK", "force")
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "force")
     x = jnp.zeros((8, 12, 12), jnp.float32)
     # post-norm mode is not covered by the fused kernels
     from cusrl_tpu.nn.module.causal_attn import CausalTransformerEncoderLayerFactory
