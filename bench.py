@@ -113,12 +113,58 @@ def main() -> None:
     # also a Trainer knob).  Amortizes the per-dispatch host overhead.
     chunk = max(1, int(os.environ.get("BENCH_CHUNK", 1)))
 
-    if os.environ.get("BENCH_RAW", "0") != "1":
+    # BENCH_MODE=mlp (headline) | recurrent (GRU backbone, VERDICT r4 item 3) |
+    # transformer (windowed-attention backbone).  The driver's plain
+    # `python bench.py` invocation stays the MLP trainer-loop headline; the
+    # other modes run the raw fused-scan driver and report their own metric.
+    mode = os.environ.get("BENCH_MODE", "mlp").lower()
+
+    if mode == "mlp" and os.environ.get("BENCH_RAW", "0") != "1":
         # Headline: the pipelined Trainer loop (the path users actually run).
         run_trainer_mode(num_envs, steps_per_update, warmup_iters, timed_iters)
         return
 
     env = VelocityLocomotionEnv(num_instances=num_envs)
+    metric = "ppo_locomotion_env_steps_per_s"
+    if mode == "recurrent":
+        metric = "ppo_recurrent_env_steps_per_s"
+        factory = cusrl_tpu.RecurrentPpoAgentFactory(
+            num_steps_per_update=steps_per_update,
+            rnn_type=os.environ.get("BENCH_RNN_TYPE", "gru"),
+            rnn_hidden_size=int(os.environ.get("BENCH_RNN_HIDDEN", 64)),
+            mlp_hidden_dims=tuple(
+                int(d) for d in os.environ.get("BENCH_RNN_MLP", "128").split(",") if d
+            ),
+            activation_fn="elu",
+            sampler_epochs=5,
+            sampler_mini_batches=4,
+            normalize_observation=True,
+            defer_normalization_updates=not parity,
+            store_original_observations=parity,
+            desired_kl_divergence=0.01,
+        )
+    elif mode == "transformer":
+        metric = "ppo_transformer_env_steps_per_s"
+        factory = cusrl_tpu.TransformerPpoAgentFactory(
+            num_steps_per_update=steps_per_update,
+            embed_dim=128,
+            num_heads=4,
+            attention_window=16,
+            mlp_hidden_dims=(128,),
+            activation_fn="elu",
+            sampler_epochs=5,
+            sampler_mini_batches=4,
+            normalize_observation=True,
+            defer_normalization_updates=not parity,
+            store_original_observations=parity,
+            desired_kl_divergence=0.01,
+        )
+    if mode != "mlp":
+        agent = factory(env.spec)
+        driver = ScanRolloutDriver(agent, env)
+        run_raw_loop(driver, agent, metric, num_envs, steps_per_update, warmup_iters, timed_iters, chunk)
+        return
+
     factory = cusrl_tpu.PpoAgentFactory(
         num_steps_per_update=steps_per_update,
         actor_hidden_dims=(512, 256, 128),
@@ -150,6 +196,15 @@ def main() -> None:
 
         distribute_agent(agent)
     driver = ScanRolloutDriver(agent, env)
+    run_raw_loop(driver, agent, "ppo_locomotion_env_steps_per_s", num_envs, steps_per_update,
+                 warmup_iters, timed_iters, chunk)
+
+
+def run_raw_loop(driver, agent, metric, num_envs, steps_per_update, warmup_iters, timed_iters, chunk):
+    """Raw fused-scan loop: jitted dispatches only, one blocking fetch at the
+    end of the timed window.  Shared by the MLP BENCH_RAW path and the
+    recurrent/transformer BENCH_MODE paths."""
+    import jax
 
     def run_iterations(n: int):
         # Fused jitted dispatches (chunk iterations each); nothing fetched to
@@ -180,7 +235,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "ppo_locomotion_env_steps_per_s",
+                "metric": metric,
                 "value": round(steps_per_s, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(steps_per_s / NORTH_STAR_STEPS_PER_S, 4),
