@@ -57,12 +57,18 @@ def make_factory(algo: str):
             **common,
         )
     cfg = mp.TRANSFORMER
+    # "transformer_post" reproduces the reference's exact layer semantics:
+    # post-norm placement (the reference default, causal_attn.py:271) — the
+    # round-4 parity gap traced to pre-vs-post norm, not the positional scheme
+    # (rope-by-age == window-offset positions; tests/test_fused_block.py /
+    # tests/test_attention.py positional-equivalence coverage).
     return cusrl_tpu.TransformerPpoAgentFactory(
         embed_dim=cfg["embed_dim"],
         num_heads=cfg["num_heads"],
         attention_window=cfg["window"],
         mlp_hidden_dims=(),
         use_rope=True,
+        attention_norm_mode="post" if algo == "transformer_post" else "pre",
         **common,
     )
 

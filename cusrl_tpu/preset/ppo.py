@@ -262,6 +262,12 @@ class TransformerPpoAgentFactory(PpoAgentFactory):
     num_attention_layers: int = 1
     use_alibi: bool = False
     use_rope: bool = True
+    # Norm placement / residual gating of the encoder layer.  The reference
+    # defaults to post-norm (cusrl/nn/module/causal_attn.py:271 layer_norm=
+    # "post"); pre-norm trains better and is this preset's default — the
+    # round-5 masked-Pendulum parity (PARITY_CURVES.md) runs both.
+    attention_norm_mode: str = "pre"
+    attention_gate: str | None = "residual"
     mlp_hidden_dims: Sequence[int] = (256,)
 
     def _backbone_factory(self, hidden_dims):
@@ -275,6 +281,8 @@ class TransformerPpoAgentFactory(PpoAgentFactory):
                 window=self.attention_window,
                 use_alibi=self.use_alibi,
                 use_rope=self.use_rope,
+                norm_mode=self.attention_norm_mode,
+                gate=self.attention_gate,
             )
             for _ in range(self.num_attention_layers)
         )
