@@ -53,6 +53,7 @@ from cusrl_tpu.nn.kernels.fused_mlp import (
     _dact_from_z,
     _pad_rows,
     _row_spec,
+    _mesh_data_axes,
     kernel_mesh_status,
 )
 
@@ -474,7 +475,8 @@ _post_op.defvjp(_post_op_fwd, _post_op_bwd)
 def _sharded_pre_op(mesh, x, w_in, b_in, g1, bb1, w_qkv, b_qkv, block_rows, interpret, skip_input_grad):
     from jax.sharding import PartitionSpec as P
 
-    row, rep = P("data"), P()
+    axes = _mesh_data_axes(mesh)
+    row, rep = P(axes[0] if len(axes) == 1 else axes), P()
 
     @jax.custom_vjp
     def op(x, w_in, b_in, g1, bb1, w_qkv, b_qkv):
@@ -494,7 +496,7 @@ def _sharded_pre_op(mesh, x, w_in, b_in, g1, bb1, w_qkv, b_qkv, block_rows, inte
         def f(x_, h_, gh_, gqkv_, w_in_, w_qkv_, g1_, bb1_):
             outs = _pre_run_bwd(x_, h_, gh_, gqkv_, w_in_, w_qkv_, g1_, bb1_, block_rows, interpret, skip_input_grad)
             dx, grads = outs[0], outs[1:]
-            return (dx,) + jax.lax.psum(grads, "data")
+            return (dx,) + jax.lax.psum(grads, axes)
 
         outs = jax.shard_map(
             f, mesh=mesh, in_specs=(row, row, row, row, rep, rep, rep, rep),
@@ -511,7 +513,8 @@ def _sharded_post_op(mesh, attn, h, w_o, b_o, g2, bb2, w_up, b_up, w_down, b_dow
                      activation, block_rows, interpret):
     from jax.sharding import PartitionSpec as P
 
-    row, rep = P("data"), P()
+    axes = _mesh_data_axes(mesh)
+    row, rep = P(axes[0] if len(axes) == 1 else axes), P()
 
     @jax.custom_vjp
     def op(attn, h, w_o, b_o, g2, bb2, w_up, b_up, w_down, b_down):
@@ -537,7 +540,7 @@ def _sharded_post_op(mesh, attn, h, w_o, b_o, g2, bb2, w_up, b_up, w_down, b_dow
         def f(attn_, g_, r1_, s_, w_o_, w_up_, w_down_, g2_, bb2_):
             outs = _post_run_bwd(attn_, g_, r1_, s_, w_o_, w_up_, w_down_, g2_, bb2_, activation, block_rows, interpret)
             dattn, dh, grads = outs[0], outs[1], outs[2:]
-            return (dattn, dh) + jax.lax.psum(grads, "data")
+            return (dattn, dh) + jax.lax.psum(grads, axes)
 
         outs = jax.shard_map(
             f, mesh=mesh, in_specs=(row, row, row, row, rep, rep, rep, rep, rep),

@@ -129,7 +129,9 @@ def kernel_mesh_status(rows: int) -> tuple[bool, "jax.sharding.AbstractMesh | No
     if mesh is None or getattr(mesh, "empty", True):
         return True, None
     shape = dict(mesh.shape)
-    data = shape.pop("data", 1)
+    # Hierarchical (dcn, data) meshes are still pure data parallelism: the
+    # kernels shard rows over BOTH axes (see _mesh_data_axes).
+    data = shape.pop("data", 1) * shape.pop("dcn", 1)
     if any(size != 1 for size in shape.values()):
         return False, None
     if data == 1:
@@ -137,6 +139,12 @@ def kernel_mesh_status(rows: int) -> tuple[bool, "jax.sharding.AbstractMesh | No
     if rows % data:
         return False, None
     return True, mesh
+
+
+def _mesh_data_axes(mesh) -> tuple[str, ...]:
+    """Row-sharding axes for the shard_map kernel wrappers: the combined
+    ``(dcn, data)`` partition on hierarchical meshes, else ``("data",)``."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +363,8 @@ _fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
 def _sharded_fused_mlp(mesh, x, weights, biases, activation, trailing, block_rows, block_rows_bwd, interpret):
     from jax.sharding import PartitionSpec as P
 
-    row, rep = P("data"), P()
+    axes = _mesh_data_axes(mesh)
+    row, rep = P(axes[0] if len(axes) == 1 else axes), P()
     nl = len(weights)
 
     @jax.custom_vjp
@@ -383,7 +392,7 @@ def _sharded_fused_mlp(mesh, x, weights, biases, activation, trailing, block_row
             dx, dws, dbs = _run_bwd(
                 x_, g_, ws_, hs_, out_, activation, trailing, block_rows_bwd or block_rows, interpret
             )
-            dws, dbs = jax.lax.psum((dws, dbs), "data")
+            dws, dbs = jax.lax.psum((dws, dbs), axes)
             return dx, dws, dbs
 
         dx, dws, dbs = jax.shard_map(
@@ -687,7 +696,8 @@ def _sharded_pair_op(
     """Pure-DP shard_map wrapper of the pair kernel (see _sharded_fused_mlp)."""
     from jax.sharding import PartitionSpec as P
 
-    row, rep = P("data"), P()
+    axes = _mesh_data_axes(mesh)
+    row, rep = P(axes[0] if len(axes) == 1 else axes), P()
 
     @jax.custom_vjp
     def op(xa, xc, wsa, bsa, wsc, bsc):
@@ -723,7 +733,7 @@ def _sharded_pair_op(
                 xa_, xc_, ga_, gc_, wsa_, wsc_, ha_, hc_, outa_, outc_, activation, trailing,
                 block_rows_bwd or block_rows, interpret, skip_input_grad=skip_input_grad,
             )
-            dwa, dba, dwc, dbc = jax.lax.psum((dwa, dba, dwc, dbc), "data")
+            dwa, dba, dwc, dbc = jax.lax.psum((dwa, dba, dwc, dbc), axes)
             return dxa, dxc, dwa, dba, dwc, dbc
 
         dxa, dxc, dwa, dba, dwc, dbc = jax.shard_map(

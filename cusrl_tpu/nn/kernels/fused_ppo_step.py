@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cusrl_tpu.nn.kernels.fused_mlp import (
     _act_kernel,
     _dact_from_h,
+    _mesh_data_axes,
     _pad_rows,
     _reference,
 )
@@ -596,7 +597,8 @@ def _sharded_ppo_step_op(
     are psum'd inside the body (see fused_mlp._sharded_fused_mlp)."""
     from jax.sharding import PartitionSpec as P
 
-    row, rep = P("data"), P()
+    axes = _mesh_data_axes(mesh)
+    row, rep = P(axes[0] if len(axes) == 1 else axes), P()
     n_total = xa.shape[0]
     v_dim = wv.shape[1]
 
@@ -609,7 +611,7 @@ def _sharded_ppo_step_op(
                 action_, old_logp_, advantage_, old_value_, returns_, scalars_,
                 activation, trailing, loss_clip, block_rows, interpret, n_total=n_total,
             )
-            return jax.lax.psum((grads, sums), "data")
+            return jax.lax.psum((grads, sums), axes)
 
         in_specs = (row, row, rep, rep, rep, rep, rep, rep, rep, rep, rep,
                     row, row, row, row, row, rep)

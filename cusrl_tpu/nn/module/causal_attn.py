@@ -304,9 +304,16 @@ class CausalMultiheadSelfAttention(Module):
         window = self.window
         heads = self.mha.num_heads
         head_dim = self.input_dim // heads
-        qkv = qkv_flat.reshape(t_len, batch, 3, heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 1, 3, 0, 4))  # [3, N, H, T, D]
-        q, k_seq, v_seq = qkv[0], qkv[1], qkv[2]
+        embed = self.input_dim
+
+        def to_heads(cols):
+            # Narrow lane slice of the flat [T·N, 3E] tensor, then the layout
+            # transform — slicing the packed [3, N, H, T, D] tensor instead
+            # traced at ~2.8 ms/iter of squeeze copies at the bench shapes.
+            part = qkv_flat[:, cols : cols + embed].reshape(t_len, batch, heads, head_dim)
+            return jnp.transpose(part, (1, 2, 0, 3))  # [N, H, T, D]
+
+        q, k_seq, v_seq = to_heads(0), to_heads(embed), to_heads(2 * embed)
         q_pos = window + jnp.arange(t_len)
         kv_pos = jnp.arange(window + t_len)
         if self.mha.rope is not None:

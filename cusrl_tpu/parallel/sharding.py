@@ -27,15 +27,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cusrl_tpu.nn.base import tree_paths
 
-__all__ = ["collect_tp_specs", "distribute_agent", "get_mesh", "replicate", "shard_batch", "tensor_parallel_rules"]
+__all__ = [
+    "collect_tp_specs",
+    "data_axes",
+    "distribute_agent",
+    "get_mesh",
+    "replicate",
+    "shard_batch",
+    "tensor_parallel_rules",
+]
 
 
-def get_mesh(model_parallel_size: int = 1, devices=None) -> Mesh:
-    """Builds a ``(data, model)`` mesh over all (or the given) devices."""
+def get_mesh(model_parallel_size: int = 1, devices=None, dcn_parallel_size: int = 1) -> Mesh:
+    """Builds a ``(data, model)`` — or hierarchical ``(dcn, data, model)`` —
+    mesh over all (or the given) devices.
+
+    ``dcn_parallel_size > 1`` names the slow outer axis explicitly (hosts over
+    DCN): batches shard over the COMBINED ``(dcn, data)`` axes (``data_axes``),
+    so per-device layouts are identical to the flat mesh, but XLA decomposes
+    each gradient all-reduce into an ICI phase within ``data`` and a DCN phase
+    over ``dcn`` — the standard hierarchical-collective layout for multi-host
+    TPU slices (scaling-book recipe; the device *order* must put same-host
+    devices contiguous along ``data``, which ``jax.devices()`` guarantees).
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if devices.size % model_parallel_size != 0:
-        raise ValueError(f"{devices.size} devices not divisible by model_parallel_size={model_parallel_size}")
+    if devices.size % (model_parallel_size * dcn_parallel_size) != 0:
+        raise ValueError(
+            f"{devices.size} devices not divisible by model_parallel_size={model_parallel_size}"
+            f" x dcn_parallel_size={dcn_parallel_size}"
+        )
+    if dcn_parallel_size > 1:
+        shaped = devices.reshape(dcn_parallel_size, -1, model_parallel_size)
+        return Mesh(shaped, ("dcn", "data", "model"))
     return Mesh(devices.reshape(devices.size // model_parallel_size, model_parallel_size), ("data", "model"))
+
+
+def data_axes(mesh: Mesh) -> tuple[str, ...]:
+    """The batch-sharding axes of a mesh: ``("dcn", "data")`` on hierarchical
+    meshes, ``("data",)`` otherwise."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
@@ -45,13 +75,16 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(tree: Any, mesh: Mesh, axis: int = 0) -> Any:
-    """Shards every leaf's ``axis`` over the ``data`` mesh axis."""
+    """Shards every leaf's ``axis`` over the data axes of the mesh (the
+    combined ``(dcn, data)`` partition on hierarchical meshes)."""
+    axes = data_axes(mesh)
+    part = axes[0] if len(axes) == 1 else axes
 
     def _put(leaf):
         if not hasattr(leaf, "ndim") or leaf.ndim <= axis:
             return jax.device_put(leaf, NamedSharding(mesh, P()))
         spec = [None] * leaf.ndim
-        spec[axis] = "data"
+        spec[axis] = part
         return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(_put, tree)

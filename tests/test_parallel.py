@@ -208,3 +208,89 @@ def test_fused_ppo_step_kernel_on_dp_mesh_matches_single_device():
     np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_single), rtol=1e-6, atol=1e-7)
     for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (dcn, data) meshes (VERDICT r4 item 5): pure DP with the slow
+# axis named explicitly — batches shard over BOTH axes, kernels stay engaged,
+# weight grads psum over (dcn, data), numerics == single-device.
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_mesh_status_hierarchical():
+    from cusrl_tpu.nn.kernels.fused_mlp import kernel_mesh_status
+
+    mesh = get_mesh(1, dcn_parallel_size=2)  # (2, 4, 1) dcn x data x model
+    assert mesh.axis_names == ("dcn", "data", "model")
+    with jax.set_mesh(mesh):
+        allowed, wrap = kernel_mesh_status(1024)
+        assert allowed and wrap is not None
+        # rows must divide dcn*data = 8
+        assert kernel_mesh_status(1023) == (False, None)
+
+
+def test_fused_mlp_pair_kernel_on_hierarchical_mesh_matches_single_device():
+    from cusrl_tpu.nn.kernels.fused_mlp import fused_mlp_pair
+
+    dims = (24, 64, 32)
+    wsa, bsa = _mk_mlp_params(jax.random.key(80), dims)
+    wsc, bsc = _mk_mlp_params(jax.random.key(81), dims)
+    xa = jax.random.normal(jax.random.key(82), (128, dims[0]), jnp.float32)
+    xc = jax.random.normal(jax.random.key(83), (128, dims[0]), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(84), (128, dims[-1]), jnp.float32)
+
+    def loss(params, xa_, xc_):
+        (wa, ba), (wc, bc) = params
+        a, c = fused_mlp_pair(
+            xa_, xc_, wa, ba, wc, bc, "elu", True,
+            use_pallas=True, block_rows=32, interpret=True,
+        )
+        return jnp.mean(jnp.square(a.astype(jnp.float32) - tgt)) + jnp.mean(
+            jnp.square(c.astype(jnp.float32) - 2.0 * tgt)
+        )
+
+    params = ((wsa, bsa), (wsc, bsc))
+    l_single, g_single = jax.value_and_grad(loss)(params, xa, xc)
+
+    mesh = get_mesh(1, dcn_parallel_size=2)
+    with jax.set_mesh(mesh):
+        xa_s = shard_batch(xa, mesh)
+        assert "dcn" in str(xa_s.sharding.spec)
+        xc_s = shard_batch(xc, mesh)
+        params_s = replicate(params, mesh)
+        l_mesh, g_mesh = jax.jit(jax.value_and_grad(loss))(params_s, xa_s, xc_s)
+
+    np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_single), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_block_kernels_on_hierarchical_mesh_match_single_device():
+    from cusrl_tpu.nn.kernels.fused_block import fused_block_post, fused_block_pre
+
+    keys = jax.random.split(jax.random.key(90), 10)
+    E, F, IN = 32, 64, 24
+    w_in = jax.random.normal(keys[0], (IN, E)) / np.sqrt(IN)
+    b_in = 0.1 * jax.random.normal(keys[1], (1, E))
+    g1, bb1 = 1.0 + 0.1 * jax.random.normal(keys[2], (1, E)), 0.1 * jax.random.normal(keys[3], (1, E))
+    w_qkv = jax.random.normal(keys[4], (E, 3 * E)) / np.sqrt(E)
+    b_qkv = 0.1 * jax.random.normal(keys[5], (1, 3 * E))
+    x = jax.random.normal(keys[6], (128, IN))
+    tgt = jax.random.normal(keys[7], (128, 3 * E))
+
+    def loss(params, x_):
+        w_in_, b_in_, g1_, bb1_, w_qkv_, b_qkv_ = params
+        h, qkv = fused_block_pre(
+            x_, w_in_, b_in_, g1_, bb1_, w_qkv_, b_qkv_,
+            use_pallas=True, block_rows=32, interpret=True,
+        )
+        return jnp.mean(jnp.square(qkv.astype(jnp.float32) - tgt)) + jnp.mean(h.astype(jnp.float32) ** 2)
+
+    params = (w_in, b_in, g1, bb1, w_qkv, b_qkv)
+    l_single, g_single = jax.value_and_grad(loss)(params, x)
+    mesh = get_mesh(1, dcn_parallel_size=2)
+    with jax.set_mesh(mesh):
+        l_mesh, g_mesh = jax.jit(jax.value_and_grad(loss))(replicate(params, mesh), shard_batch(x, mesh))
+    np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_single), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
