@@ -211,33 +211,33 @@ print("RESULT " + json.dumps({
 """
 
 _TRAIN_ORACLE = _TRAIN_COMMON + r"""
-# Single process: same agent, rollouts of BOTH ranks concatenated on the env
-# axis — the DDP-equivalence oracle.
+# Single process: same agent, rollouts of ALL ranks concatenated on the env
+# axis — the DDP-equivalence oracle (world size from WORLD_N; the 3-process
+# case catches >2-way collective bugs, VERDICT r4 item 5b).
+WORLD = int(os.environ.get("WORLD_N", "2"))
 agent = build_agent()
 
-def concat_rollouts(a, b):
-    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=1), a, b)
+def concat_rollouts(parts):
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *parts)
 
 update_jit = jax.jit(agent.update_body)
 for it in range(3):
-    r0 = synth_rollout(agent, seed=500 + 0 + it)
-    r1 = synth_rollout(agent, seed=500 + 1000 + it)
-    rollout = concat_rollouts(r0, r1)
+    rollout = concat_rollouts([synth_rollout(agent, seed=500 + 1000 * r + it) for r in range(WORLD)])
     state, metrics = update_jit(agent.state, rollout, jax.random.fold_in(jax.random.key(123), it), None)
     agent.state = state
     agent.finish_update()
 
 w_after_3 = np.asarray(agent.state.actor.backbone.layers[0].weight, np.float64)
-r0 = synth_rollout(agent, seed=500 + 0 + 99)
-r1 = synth_rollout(agent, seed=500 + 1000 + 99)
-state, _ = update_jit(agent.state, concat_rollouts(r0, r1), jax.random.fold_in(jax.random.key(123), 99), None)
+rollout = concat_rollouts([synth_rollout(agent, seed=500 + 1000 * r + 99) for r in range(WORLD)])
+state, _ = update_jit(agent.state, rollout, jax.random.fold_in(jax.random.key(123), 99), None)
 agent.state = state
 w_after_resume = np.asarray(agent.state.actor.backbone.layers[0].weight, np.float64)
 print("RESULT " + json.dumps({"w3": w_after_3.tolist(), "wr": w_after_resume.tolist()}))
 """
 
 
-def test_cross_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("world", [2, 3])
+def test_cross_process_training_matches_single_process(tmp_path, world):
     import numpy as np
 
     port = _free_port()
@@ -246,11 +246,12 @@ def test_cross_process_training_matches_single_process(tmp_path):
         "REPO_ROOT": os.getcwd(),
         "TEST_TMP": str(tmp_path),
         "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-        "JAX_NUM_PROCESSES": "2",
+        "JAX_NUM_PROCESSES": str(world),
         "JAX_PLATFORMS": "cpu",
+        "WORLD_N": str(world),
     }
     procs = []
-    for rank in range(2):
+    for rank in range(world):
         env = {**env_base, "JAX_PROCESS_ID": str(rank)}
         procs.append(
             subprocess.Popen(
@@ -275,13 +276,15 @@ def test_cross_process_training_matches_single_process(tmp_path):
     line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
     oracle = json.loads(line[len("RESULT "):])
 
-    w0, w1 = np.array(results[0]["w3"]), np.array(results[1]["w3"])
-    np.testing.assert_array_equal(w0, w1)  # ranks agree bit-for-bit
-    np.testing.assert_allclose(w0, np.array(oracle["w3"]), atol=2e-5)  # DDP == 1-proc
+    ws = [np.array(results[r]["w3"]) for r in range(world)]
+    for w in ws[1:]:
+        np.testing.assert_array_equal(ws[0], w)  # ranks agree bit-for-bit
+    np.testing.assert_allclose(ws[0], np.array(oracle["w3"]), atol=2e-5)  # DDP == 1-proc
 
-    r0, r1 = np.array(results[0]["wr"]), np.array(results[1]["wr"])
-    np.testing.assert_array_equal(r0, r1)
-    np.testing.assert_allclose(r0, np.array(oracle["wr"]), atol=2e-5)
+    rs = [np.array(results[r]["wr"]) for r in range(world)]
+    for r in rs[1:]:
+        np.testing.assert_array_equal(rs[0], r)
+    np.testing.assert_allclose(rs[0], np.array(oracle["wr"]), atol=2e-5)
 
 
 # ---------------------------------------------------------------------------
