@@ -139,6 +139,37 @@ class CausalMultiheadSelfAttention(Module):
         }
         return out, new_memory
 
+    def step_core(self, q, k_new, v_new, memory):
+        """Ring write + masked SDPA for pre-projected single-step q/k/v
+        (``[N, H, 1, D]``, q already RoPE'd at position W, k raw) — the
+        attention middle of the fused-block STEP path.  Returns the merged
+        heads WITHOUT the out-projection (that lives in the post kernel)."""
+        slots = self._ring_slots
+        k_cache, v_cache = memory["k_cache"], memory["v_cache"]
+        mask, cursor = memory["cache_mask"], _cursor_scalar(memory["cursor"])
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, 0, cursor, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, 0, cursor, 0))
+        mask = jax.lax.dynamic_update_slice(mask, jnp.ones((q.shape[0], 1), mask.dtype), (0, cursor))
+
+        ages = jnp.mod(cursor - jnp.arange(slots), slots)
+        k_rot = self.mha.rope_k(k_cache, self.window - ages)
+        bias = None
+        if self.use_alibi:
+            slopes = alibi_slopes(self.mha.num_heads)
+            bias = -slopes[:, None, None] * ages[None, None, :].astype(jnp.float32)
+        out = scaled_dot_product_attention(
+            q, k_rot, v_cache, mask=(mask > 0.5)[:, None, None, :], bias=bias
+        )
+        merged = self.mha._merge(out)[:, 0]  # [N, E] fp32
+
+        new_memory = {
+            "k_cache": jax.lax.stop_gradient(k_cache),
+            "v_cache": jax.lax.stop_gradient(v_cache),
+            "cache_mask": mask,
+            "cursor": jnp.broadcast_to(jnp.mod(cursor + 1, slots), memory["cursor"].shape),
+        }
+        return merged, new_memory
+
     # -- shared sequence-mode plumbing -----------------------------------------
 
     def _unrolled_cache(self, memory):
@@ -582,10 +613,12 @@ class CausalTransformerEncoderLayer(Module):
     def _fused_eligible(self, x, sequential: bool) -> bool:
         """The fused transformer-block kernels cover the preset configuration:
         pre-norm, residual gates, fused-projection-friendly Linears (bf16 with
-        bias), no QK-norm, supported FFN activation, large sequence batches.
-        Anything else keeps the modular path."""
+        bias), no QK-norm, supported FFN activation, large batches.  Covers
+        BOTH the sequence path (minibatch BPTT) and the single-step path (the
+        rollout scan — primal-only kernels, attention middle = ring DUS +
+        masked SDPA).  Anything else keeps the modular path."""
         mode = self._fused_block_mode()
-        if mode == "0" or not sequential or x.ndim != 3:
+        if mode == "0" or x.ndim != (3 if sequential else 2):
             return False
         if self.norm_mode != "pre" or self.input_proj is None:
             return False
@@ -608,7 +641,7 @@ class CausalTransformerEncoderLayer(Module):
         linears = (self.input_proj, mha.q_proj, mha.k_proj, mha.v_proj, mha.out_proj, ff.up, ff.down)
         if not all(l.compute_dtype == "bfloat16" and l.bias is not None for l in linears):
             return False
-        rows = x.shape[0] * x.shape[1]
+        rows = x.shape[0] * (x.shape[1] if sequential else 1)
         if mode == "force":
             return True
         if rows < 256 or jax.default_backend() != "tpu":
@@ -619,6 +652,31 @@ class CausalTransformerEncoderLayer(Module):
         # the pre/post ops' own concern when engaged explicitly.
         return kernel_mesh_status(rows) == (True, None)
 
+    def _fused_flags(self):
+        force = self._fused_block_mode() == "force"
+        interpret = force and jax.default_backend() != "tpu"
+        return (True if force else None), interpret
+
+    def _pre_params(self):
+        mha = self.attention.mha
+        w_qkv = jnp.concatenate([mha.q_proj.weight.T, mha.k_proj.weight.T, mha.v_proj.weight.T], axis=1)
+        b_qkv = jnp.concatenate([mha.q_proj.bias, mha.k_proj.bias, mha.v_proj.bias])[None, :]
+        return (
+            self.input_proj.weight.T, self.input_proj.bias[None, :],
+            self.norm1.scale[None, :], self.norm1.bias[None, :],
+            w_qkv, b_qkv,
+        )
+
+    def _post_params(self):
+        mha = self.attention.mha
+        ff = self.feed_forward
+        return (
+            mha.out_proj.weight.T, mha.out_proj.bias[None, :],
+            self.norm2.scale[None, :], self.norm2.bias[None, :],
+            ff.up.weight.T, ff.up.bias[None, :],
+            ff.down.weight.T, ff.down.bias[None, :],
+        )
+
     def _fused_sequence(self, x, memory, done):
         """Whole-layer sequence path via the fused-block kernels: every matmul
         and LayerNorm of the block runs inside two Pallas programs bracketing
@@ -628,41 +686,59 @@ class CausalTransformerEncoderLayer(Module):
         t_len, batch = x.shape[:2]
         rows = t_len * batch
         attn = self.attention
-        mha = attn.mha
-        force = self._fused_block_mode() == "force"
-        interpret = force and jax.default_backend() != "tpu"
-        use_pallas = True if force else None
+        use_pallas, interpret = self._fused_flags()
 
         x_flat = x.reshape(rows, x.shape[-1])
-        w_qkv = jnp.concatenate([mha.q_proj.weight.T, mha.k_proj.weight.T, mha.v_proj.weight.T], axis=1)
-        b_qkv = jnp.concatenate([mha.q_proj.bias, mha.k_proj.bias, mha.v_proj.bias])[None, :]
-        h, qkv = fused_block_pre(
-            x_flat,
-            self.input_proj.weight.T, self.input_proj.bias[None, :],
-            self.norm1.scale[None, :], self.norm1.bias[None, :],
-            w_qkv, b_qkv,
-            use_pallas=use_pallas, interpret=interpret,
-        )
+        h, qkv = fused_block_pre(x_flat, *self._pre_params(), use_pallas=use_pallas, interpret=interpret)
         attn_flat, new_memory = attn.sequence_core(qkv, memory, done, t_len, batch)
-        ff = self.feed_forward
         out = fused_block_post(
-            attn_flat, h,
-            mha.out_proj.weight.T, mha.out_proj.bias[None, :],
-            self.norm2.scale[None, :], self.norm2.bias[None, :],
-            ff.up.weight.T, ff.up.bias[None, :],
-            ff.down.weight.T, ff.down.bias[None, :],
-            ff.activation,
+            attn_flat, h, *self._post_params(), self.feed_forward.activation,
             use_pallas=use_pallas, interpret=interpret,
         )
         return out.reshape(t_len, batch, -1), new_memory, {}
 
+    def _fused_step(self, x, memory):
+        """Single-step (rollout) path via the fused-block kernels' PRIMAL
+        variants: pre kernel -> ring write + masked SDPA -> post kernel.
+        Collapses the step's ~15-op XLA matmul/norm soup into two kernel calls
+        around the tiny ring attention (the rollout scan traced at ~14.5
+        ms/iter at bench shapes)."""
+        from cusrl_tpu.nn.kernels.fused_block import fused_block_pre, fused_block_post
+
+        attn = self.attention
+        mha = attn.mha
+        heads = mha.num_heads
+        embed = attn.input_dim
+        head_dim = embed // heads
+        batch = x.shape[0]
+        use_pallas, interpret = self._fused_flags()
+
+        h, qkv = fused_block_pre(x, *self._pre_params(), use_pallas=use_pallas, interpret=interpret)
+
+        def to_heads(cols):
+            return qkv[:, cols : cols + embed].reshape(batch, heads, 1, head_dim)
+
+        q, k_new, v_new = to_heads(0), to_heads(embed), to_heads(2 * embed)
+        if mha.rope is not None:
+            q = mha.rope(q, jnp.full((1,), attn.window, jnp.int32))
+        attn_merged, new_memory = attn.step_core(q, k_new, v_new, memory)
+        out = fused_block_post(
+            attn_merged, h, *self._post_params(), self.feed_forward.activation,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        return out, new_memory, {}
+
     def __call__(self, x, memory: Memory = None, *, sequential: bool = False, done=None, **kwargs):
         if self._fused_eligible(x, sequential):
+            if sequential:
+                if memory is None:
+                    memory = self.init_memory(x.shape[1])
+                if done is None:
+                    done = jnp.zeros((*x.shape[:2], 1), bool)
+                return self._fused_sequence(x, memory, done)
             if memory is None:
-                memory = self.init_memory(x.shape[1])
-            if done is None:
-                done = jnp.zeros((*x.shape[:2], 1), bool)
-            return self._fused_sequence(x, memory, done)
+                memory = self.init_memory(x.shape[0])
+            return self._fused_step(x, memory)
         h = self.input_proj(x) if self.input_proj is not None else x
         h, new_memory = self._block(h, memory, sequential=sequential, done=done)
         return h, new_memory, {}

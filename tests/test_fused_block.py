@@ -216,6 +216,62 @@ def test_layer_fused_ineligible_configs_fall_back(monkeypatch):
         embed_dim=32, num_heads=2, window=4, ff_dim=64, gate="gru", compute_dtype="bfloat16"
     )(12, None, jax.random.key(1))
     assert not layer._fused_eligible(x, True)
-    # step mode (sequential=False) never fuses
+    # shape/flag mismatches never fuse
     layer = _make_layer()
-    assert not layer._fused_eligible(x[0], False)
+    assert not layer._fused_eligible(x[0], True)  # 2-D input in sequence mode
+    assert not layer._fused_eligible(x, False)  # 3-D input in step mode
+
+
+def test_layer_fused_step_matches_modular_step(monkeypatch):
+    """The rollout (single-step) fused route: pre kernel -> ring DUS + SDPA ->
+    post kernel must reproduce the modular step across a multi-step episode,
+    including the ring memory evolution."""
+    layer = _make_layer(seed=7)
+    n = 9
+
+    def run(n_steps):
+        memory = layer.init_memory(n)
+        outs = []
+        for s in range(n_steps):
+            x_s = jax.random.normal(jax.random.key(300 + s), (n, 12), jnp.float32)
+            out, memory, _ = layer(x_s, memory, sequential=False)
+            outs.append(out)
+        return outs, memory
+
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "0")
+    outs_ref, mem_ref = run(7)
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "force")
+    assert layer._fused_eligible(jnp.zeros((n, 12)), False)
+    outs_fused, mem_fused = run(7)
+
+    for a, b in zip(outs_ref, outs_fused):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32), atol=5e-2, rtol=5e-2
+        )
+    for key in ("k_cache", "v_cache", "cache_mask", "cursor"):
+        np.testing.assert_allclose(
+            np.asarray(mem_fused[key], np.float32), np.asarray(mem_ref[key], np.float32),
+            atol=3e-2, rtol=3e-2,
+        )
+
+
+def test_layer_fused_step_consistent_with_fused_sequence(monkeypatch):
+    """Stepwise fused rollout == fused sequence mode on the same inputs (the
+    recurrence-consistency invariant, CLAUDE.md)."""
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "force")
+    layer = _make_layer(seed=11)
+    t_len, n = 10, 6
+    x = jax.random.normal(jax.random.key(400), (t_len, n, 12), jnp.float32)
+    memory = layer.init_memory(n)
+
+    outs = []
+    mem = memory
+    for s in range(t_len):
+        out, mem, _ = layer(x[s], mem, sequential=False)
+        outs.append(out)
+    out_step = jnp.stack(outs)
+
+    out_seq, _, _ = layer(x, memory, sequential=True, done=jnp.zeros((t_len, n, 1), bool))
+    np.testing.assert_allclose(
+        np.asarray(out_seq, np.float32), np.asarray(out_step, np.float32), atol=6e-2, rtol=6e-2
+    )
