@@ -13,17 +13,23 @@ register_experiment(
     algorithm_name="ppo",
     agent_meta_factory=PpoAgentFactory,
     agent_meta_factory_kwargs=dict(
+        # Mirrors the reference's zoo entry exactly (cusrl/zoo/gym/box2d.py:
+        # 10-27) — the KL-adaptive-LR showcase used for the round-5 learning-
+        # parity run (PARITY_CURVES.md).
         num_steps_per_update=2048,
-        actor_hidden_dims=(128, 128),
-        critic_hidden_dims=(128, 128),
+        actor_hidden_dims=(64, 64),
+        critic_hidden_dims=(64, 64),
         activation_fn="tanh",
         lr=3e-4,
-        sampler_epochs=10,
-        sampler_mini_batches=32,
+        sampler_epochs=4,
+        sampler_mini_batches=16,
+        orthogonal_init=False,
         normalize_observation=True,
-        desired_kl_divergence=0.01,
-        entropy_loss_weight=0.001,
+        gae_gamma=0.999,
+        gae_lamda=0.95,
+        entropy_loss_weight=0.0,
         max_grad_norm=0.5,
+        desired_kl_divergence=0.01,
     ),
     training_env_factory=make_gym_vec,
     training_env_factory_kwargs={"id": "BipedalWalker-v3", "num_envs": 16},
