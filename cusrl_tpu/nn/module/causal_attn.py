@@ -620,6 +620,17 @@ class CausalTransformerEncoderLayer(Module):
         mode = self._fused_block_mode()
         if mode == "0" or x.ndim != (3 if sequential else 2):
             return False
+        if not sequential and mode != "force":
+            # Step route default-OFF: measured 61.5 vs 57.9 ms/iter on the
+            # transformer bench — 96 extra kernel launches per iteration (2
+            # kernels x 2 nets x 24 steps) cost more than the XLA step soup
+            # they replace, which XLA fuses into neighbors for free.  Revival:
+            # CUSRL_TPU_FUSED_TRANSFORMER_STEP=1, worth retrying at larger
+            # embed dims or deeper stacks (docs/ROADMAP.md option ledger).
+            import os
+
+            if os.environ.get("CUSRL_TPU_FUSED_TRANSFORMER_STEP", "0") != "1":
+                return False
         if self.norm_mode != "pre" or self.input_proj is None:
             return False
         from cusrl_tpu.nn.layer.gate import ResidualGate
