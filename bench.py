@@ -158,6 +158,9 @@ def main() -> None:
             defer_normalization_updates=not parity,
             store_original_observations=parity,
             desired_kl_divergence=0.01,
+            # Pair-kernel joint evaluation (both block chains per Pallas
+            # program + one env-concatenated lane pass).
+            fuse_actor_critic_evaluation=os.environ.get("BENCH_FUSE", "1") == "1",
         )
     if mode != "mlp":
         agent = factory(env.spec)

@@ -619,3 +619,380 @@ def fused_block_post(
         attn, h, w_o, b_o, ln2_scale, ln2_bias, w_up, b_up, w_down, b_down,
         activation, bool(use_pallas), block_rows, interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired variants: actor+critic block chains in ONE kernel per row tile (the
+# same two-chain pattern as fused_mlp_pair — halves kernel launches/pipeline
+# ramps per minibatch step; the attention middle runs ONE lane call over the
+# env-concatenated halves since attention has no weights).
+# ---------------------------------------------------------------------------
+
+
+def _pair_pre_fwd_kernel(xa_ref, xc_ref, *refs):
+    wa = refs[0:6]   # w_in, b_in, g1, bb1, w_qkv, b_qkv
+    wc = refs[6:12]
+    ha_ref, hc_ref, qkva_ref, qkvc_ref = refs[12:16]
+
+    def chain(x_ref, params, h_ref, qkv_ref):
+        w_in, b_in, g1, bb1, w_qkv, b_qkv = params
+        x = x_ref[...].astype(jnp.bfloat16)
+        z = jnp.dot(x, w_in[...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        h = (z + b_in[...]).astype(jnp.bfloat16)
+        h_ref[...] = h
+        y, _, _ = _ln_fwd(h.astype(jnp.float32), g1[...], bb1[...])
+        q = jnp.dot(y.astype(jnp.bfloat16), w_qkv[...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        qkv_ref[...] = (q + b_qkv[...]).astype(jnp.bfloat16)
+
+    chain(xa_ref, wa, ha_ref, qkva_ref)
+    chain(xc_ref, wc, hc_ref, qkvc_ref)
+
+
+def _pair_pre_bwd_kernel(skip_input_grad, xa_ref, xc_ref, ha_ref, hc_ref,
+                         gha_ref, ghc_ref, gqkva_ref, gqkvc_ref, *refs):
+    wa = refs[0:4]   # w_in, w_qkv, g1, bb1
+    wc = refs[4:8]
+    refs = refs[8:]
+    if skip_input_grad:
+        dxa_ref = dxc_ref = None
+    else:
+        dxa_ref, dxc_ref = refs[0], refs[1]
+        refs = refs[2:]
+    douts_a = refs[0:6]  # dw_in, db_in, dg1, dbb1, dw_qkv, db_qkv
+    douts_c = refs[6:12]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (*douts_a, *douts_c):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    def chain_bwd(x_ref, h_ref, gh_ref, gqkv_ref, params, douts, dx_ref):
+        w_in, w_qkv, g1, bb1 = params
+        dw_in_ref, db_in_ref, dg1_ref, dbb1_ref, dw_qkv_ref, db_qkv_ref = douts
+        h = h_ref[...]
+        y, xhat, inv = _ln_fwd(h.astype(jnp.float32), g1[...], bb1[...])
+        yb = y.astype(jnp.bfloat16)
+        dqkv = gqkv_ref[...].astype(jnp.float32)
+        dqkv_bf = dqkv.astype(jnp.bfloat16)
+        dw_qkv_ref[...] += _dot_nt(yb, dqkv_bf)
+        db_qkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+        dy = _dot_tn(dqkv_bf, w_qkv[...].astype(jnp.bfloat16))
+        dg1_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+        dbb1_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+        dh = _ln_bwd(dy, xhat, inv, g1[...]) + gh_ref[...].astype(jnp.float32)
+        dh_bf = dh.astype(jnp.bfloat16)
+        x = x_ref[...].astype(jnp.bfloat16)
+        dw_in_ref[...] += _dot_nt(x, dh_bf)
+        db_in_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+        if dx_ref is not None:
+            dx_ref[...] = _dot_tn(dh_bf, w_in[...].astype(jnp.bfloat16))
+
+    chain_bwd(xa_ref, ha_ref, gha_ref, gqkva_ref, wa, douts_a, dxa_ref)
+    chain_bwd(xc_ref, hc_ref, ghc_ref, gqkvc_ref, wc, douts_c, dxc_ref)
+
+
+def _pair_pre_run_fwd(xa, xc, pa, pc, block_rows, interpret):
+    n = xa.shape[0]
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    grid = (n_pad // tb,)
+    embed, qkv_dim = pa[0].shape[1], pa[4].shape[1]
+
+    in_specs = [_row_spec(xa.shape[1], tb), _row_spec(xc.shape[1], tb)]
+    in_specs += [_const_spec(a.shape) for a in pa] + [_const_spec(a.shape) for a in pc]
+    out_specs = [_row_spec(embed, tb), _row_spec(embed, tb),
+                 _row_spec(qkv_dim, tb), _row_spec(qkv_dim, tb)]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_pad, embed), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_pad, embed), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_pad, qkv_dim), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_pad, qkv_dim), jnp.bfloat16),
+    ]
+    ha, hc, qkva, qkvc = pl.pallas_call(
+        _pair_pre_fwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(_pad_rows(xa, n_pad), _pad_rows(xc, n_pad), *pa, *pc)
+    return ha[:n], hc[:n], qkva[:n], qkvc[:n]
+
+
+def _pair_pre_run_bwd(xa, xc, ha, hc, gha, ghc, gqkva, gqkvc, wa, wc, block_rows, interpret, skip_input_grad):
+    n = xa.shape[0]
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    grid = (n_pad // tb,)
+
+    row_ins = [xa, xc, ha, hc, gha, ghc, gqkva, gqkvc]
+    in_specs = [_row_spec(a.shape[1], tb) for a in row_ins]
+    in_specs += [_const_spec(a.shape) for a in wa] + [_const_spec(a.shape) for a in wc]
+    out_specs, out_shapes = [], []
+    if not skip_input_grad:
+        for x in (xa, xc):
+            out_specs.append(_row_spec(x.shape[1], tb))
+            out_shapes.append(jax.ShapeDtypeStruct((n_pad, x.shape[1]), jnp.float32))
+    for w_in, w_qkv, g1, bb1 in (wa, wc):
+        for shape in (w_in.shape, (1, w_in.shape[1]), g1.shape, bb1.shape, w_qkv.shape, (1, w_qkv.shape[1])):
+            out_specs.append(_const_spec(shape))
+            out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(_pair_pre_bwd_kernel, skip_input_grad),
+        grid=grid, in_specs=in_specs, out_specs=out_specs, out_shape=out_shapes,
+        interpret=interpret,
+    )(*[_pad_rows(a, n_pad) for a in row_ins], *wa, *wc)
+    if skip_input_grad:
+        dxa, dxc = jnp.zeros_like(xa), jnp.zeros_like(xc)
+    else:
+        dxa, dxc = outs[0][:n], outs[1][:n]
+        outs = outs[2:]
+    return dxa, dxc, tuple(outs[:6]), tuple(outs[6:12])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _pair_pre_op(xa, xc, pa, pc, use_pallas, block_rows, interpret, skip_input_grad):
+    if use_pallas:
+        return _pair_pre_run_fwd(xa, xc, pa, pc, block_rows, interpret)
+    ha, qkva = _pre_reference(xa, *pa)
+    hc, qkvc = _pre_reference(xc, *pc)
+    return ha, hc, qkva, qkvc
+
+
+def _pair_pre_op_fwd(xa, xc, pa, pc, use_pallas, block_rows, interpret, skip_input_grad):
+    out = _pair_pre_op(xa, xc, pa, pc, use_pallas, block_rows, interpret, skip_input_grad)
+    ha, hc, _, _ = out
+    return out, (xa, xc, ha, hc, pa, pc)
+
+
+def _pair_pre_op_bwd(use_pallas, block_rows, interpret, skip_input_grad, residuals, gs):
+    xa, xc, ha, hc, pa, pc = residuals
+    gha, ghc, gqkva, gqkvc = gs
+    if use_pallas:
+        wa = (pa[0], pa[4], pa[2], pa[3])  # w_in, w_qkv, g1, bb1
+        wc = (pc[0], pc[4], pc[2], pc[3])
+        dxa, dxc, da, dc = _pair_pre_run_bwd(
+            xa, xc, ha, hc, gha, ghc, gqkva, gqkvc, wa, wc, block_rows, interpret, skip_input_grad
+        )
+        # Kernel grad order: dw_in, db_in, dg1, dbb1, dw_qkv, db_qkv == param order.
+        return dxa.astype(xa.dtype), dxc.astype(xc.dtype), da, dc
+
+    def f(xa_, xc_, pa_, pc_):
+        ha_, qkva_ = _pre_reference(xa_, *pa_)
+        hc_, qkvc_ = _pre_reference(xc_, *pc_)
+        return ha_, hc_, qkva_, qkvc_
+
+    _, vjp = jax.vjp(f, xa, xc, pa, pc)
+    return vjp(gs)
+
+
+_pair_pre_op.defvjp(_pair_pre_op_fwd, _pair_pre_op_bwd)
+
+
+def fused_block_pair_pre(xa, xc, params_a, params_c, *, use_pallas=None, block_rows=None,
+                         interpret=False, skip_input_grad=True):
+    """Two pre chains (actor+critic) per row tile.  ``params_*`` =
+    (w_in, b_in, ln1_scale, ln1_bias, w_qkv, b_qkv).  Returns
+    (ha, hc, qkva, qkvc)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    block_rows = block_rows or _DEFAULT_BLOCK
+    if use_pallas and kernel_mesh_status(xa.shape[0]) != (True, None):
+        use_pallas = False
+    return _pair_pre_op(xa, xc, tuple(params_a), tuple(params_c),
+                        bool(use_pallas), block_rows, interpret, bool(skip_input_grad))
+
+
+def _pair_post_fwd_kernel(activation, save, attna_ref, attnc_ref, ha_ref, hc_ref, *refs):
+    pa = refs[0:8]  # w_o, b_o, g2, bb2, w_up, b_up, w_down, b_down
+    pc = refs[8:16]
+    outs = refs[16:]
+    outa_ref, outc_ref = outs[0], outs[1]
+    saves = outs[2:] if save else (None,) * 4
+
+    def chain(attn_ref, h_ref, params, out_ref, r1_ref, s_ref):
+        w_o, b_o, g2, bb2, w_up, b_up, w_down, b_down = params
+        attn = attn_ref[...].astype(jnp.bfloat16)
+        zo = jnp.dot(attn, w_o[...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        r1 = h_ref[...] + (zo + b_o[...]).astype(jnp.bfloat16)
+        y2, _, _ = _ln_fwd(r1.astype(jnp.float32), g2[...], bb2[...])
+        z = jnp.dot(y2.astype(jnp.bfloat16), w_up[...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        z1 = (z + b_up[...]).astype(jnp.bfloat16)
+        hid = z1 if activation in ("identity", "none") else _act_kernel(activation, z1)
+        f = jnp.dot(hid, w_down[...].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        out_ref[...] = r1 + (f + b_down[...]).astype(jnp.bfloat16)
+        if save:
+            r1_ref[...] = r1
+            s_ref[...] = z1 if activation in _PREACT_ACTIVATIONS else hid
+
+    chain(attna_ref, ha_ref, pa, outa_ref, saves[0], saves[2])
+    chain(attnc_ref, hc_ref, pc, outc_ref, saves[1], saves[3])
+
+
+def _pair_post_bwd_kernel(activation, attna_ref, attnc_ref, ga_ref, gc_ref,
+                          r1a_ref, r1c_ref, sa_ref, sc_ref, *refs):
+    wa = refs[0:5]   # w_o, w_up, w_down, g2, bb2
+    wc = refs[5:10]
+    outs = refs[10:]
+    dattna_ref, dattnc_ref, dha_ref, dhc_ref = outs[0:4]
+    douts_a = outs[4:12]   # dw_o, db_o, dg2, dbb2, dw_up, db_up, dw_down, db_down
+    douts_c = outs[12:20]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (*douts_a, *douts_c):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    def chain_bwd(attn_ref, g_ref, r1_ref, s_ref, params, douts, dattn_ref, dh_ref):
+        w_o, w_up, w_down, g2, bb2 = params
+        dw_o_ref, db_o_ref, dg2_ref, dbb2_ref, dw_up_ref, db_up_ref, dw_down_ref, db_down_ref = douts
+        g = g_ref[...].astype(jnp.float32)
+        g_bf = g.astype(jnp.bfloat16)
+        preact = activation in _PREACT_ACTIVATIONS
+        saved = s_ref[...]
+        if preact:
+            hid = _act_kernel(activation, saved)
+            dact = _dact_from_z(activation, saved.astype(jnp.float32))
+        else:
+            hid = saved
+            dact = _dact_from_h(activation, saved.astype(jnp.float32))
+        dw_down_ref[...] += _dot_nt(hid, g_bf)
+        db_down_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+        dhid = _dot_tn(g_bf, w_down[...].astype(jnp.bfloat16))
+        dz1 = dhid * dact
+        dz1_bf = dz1.astype(jnp.bfloat16)
+        r1 = r1_ref[...]
+        y2, xhat2, inv2 = _ln_fwd(r1.astype(jnp.float32), g2[...], bb2[...])
+        dw_up_ref[...] += _dot_nt(y2.astype(jnp.bfloat16), dz1_bf)
+        db_up_ref[...] += jnp.sum(dz1, axis=0, keepdims=True)
+        dy2 = _dot_tn(dz1_bf, w_up[...].astype(jnp.bfloat16))
+        dg2_ref[...] += jnp.sum(dy2 * xhat2, axis=0, keepdims=True)
+        dbb2_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+        dr1 = g + _ln_bwd(dy2, xhat2, inv2, g2[...])
+        dr1_bf = dr1.astype(jnp.bfloat16)
+        attn = attn_ref[...].astype(jnp.bfloat16)
+        dw_o_ref[...] += _dot_nt(attn, dr1_bf)
+        db_o_ref[...] += jnp.sum(dr1, axis=0, keepdims=True)
+        dattn_ref[...] = _dot_tn(dr1_bf, w_o[...].astype(jnp.bfloat16))
+        dh_ref[...] = dr1
+
+    chain_bwd(attna_ref, ga_ref, r1a_ref, sa_ref, wa, douts_a, dattna_ref, dha_ref)
+    chain_bwd(attnc_ref, gc_ref, r1c_ref, sc_ref, wc, douts_c, dattnc_ref, dhc_ref)
+
+
+def _pair_post_run_fwd(attna, attnc, ha, hc, pa, pc, activation, block_rows, interpret, save):
+    n = attna.shape[0]
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    grid = (n_pad // tb,)
+    embed, ff_dim = pa[0].shape[1], pa[4].shape[1]
+
+    row_ins = [attna, attnc, ha, hc]
+    in_specs = [_row_spec(a.shape[1], tb) for a in row_ins]
+    in_specs += [_const_spec(a.shape) for a in pa] + [_const_spec(a.shape) for a in pc]
+    out_specs = [_row_spec(embed, tb), _row_spec(embed, tb)]
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, embed), jnp.bfloat16)] * 2
+    if save:
+        out_specs += [_row_spec(embed, tb), _row_spec(embed, tb),
+                      _row_spec(ff_dim, tb), _row_spec(ff_dim, tb)]
+        out_shapes += [jax.ShapeDtypeStruct((n_pad, embed), jnp.bfloat16)] * 2
+        out_shapes += [jax.ShapeDtypeStruct((n_pad, ff_dim), jnp.bfloat16)] * 2
+    outs = pl.pallas_call(
+        functools.partial(_pair_post_fwd_kernel, activation, save),
+        grid=grid, in_specs=in_specs, out_specs=out_specs, out_shape=out_shapes,
+        interpret=interpret,
+    )(*[_pad_rows(a, n_pad) for a in row_ins], *pa, *pc)
+    if save:
+        return outs[0][:n], outs[1][:n], outs[2], outs[3], outs[4], outs[5]
+    return outs[0][:n], outs[1][:n], None, None, None, None
+
+
+def _pair_post_run_bwd(attna, attnc, ga, gc, r1a, r1c, sa, sc, wa, wc, activation, block_rows, interpret):
+    n = attna.shape[0]
+    tb = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tb) * tb
+    grid = (n_pad // tb,)
+    embed = wa[0].shape[1]
+
+    row_ins = [attna, attnc, ga, gc, r1a, r1c, sa, sc]
+    in_specs = [_row_spec(a.shape[1], tb) for a in row_ins]
+    in_specs += [_const_spec(a.shape) for a in wa] + [_const_spec(a.shape) for a in wc]
+    out_specs = [_row_spec(attna.shape[1], tb), _row_spec(attnc.shape[1], tb),
+                 _row_spec(embed, tb), _row_spec(embed, tb)]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_pad, attna.shape[1]), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, attnc.shape[1]), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, embed), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, embed), jnp.float32),
+    ]
+    for w_o, w_up, w_down, g2, bb2 in (wa, wc):
+        for shape in (w_o.shape, (1, w_o.shape[1]), g2.shape, bb2.shape,
+                      w_up.shape, (1, w_up.shape[1]), w_down.shape, (1, w_down.shape[1])):
+            out_specs.append(_const_spec(shape))
+            out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(_pair_post_bwd_kernel, activation),
+        grid=grid, in_specs=in_specs, out_specs=out_specs, out_shape=out_shapes,
+        interpret=interpret,
+    )(*[_pad_rows(a, n_pad) for a in row_ins], *wa, *wc)
+    dattna, dattnc, dha, dhc = outs[0][:n], outs[1][:n], outs[2][:n], outs[3][:n]
+    return dattna, dattnc, dha, dhc, tuple(outs[4:12]), tuple(outs[12:20])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _pair_post_op(attna, attnc, ha, hc, pa, pc, activation, use_pallas, block_rows, interpret):
+    if use_pallas:
+        outa, outc, _, _, _, _ = _pair_post_run_fwd(
+            attna, attnc, ha, hc, pa, pc, activation, block_rows, interpret, save=False
+        )
+        return outa, outc
+    return (_post_reference(attna, ha, *pa, activation), _post_reference(attnc, hc, *pc, activation))
+
+
+def _pair_post_op_fwd(attna, attnc, ha, hc, pa, pc, activation, use_pallas, block_rows, interpret):
+    if use_pallas:
+        outa, outc, r1a, r1c, sa, sc = _pair_post_run_fwd(
+            attna, attnc, ha, hc, pa, pc, activation, block_rows, interpret, save=True
+        )
+        return (outa, outc), (attna, attnc, r1a, r1c, sa, sc, pa, pc, None, None)
+    out = _pair_post_op(attna, attnc, ha, hc, pa, pc, activation, use_pallas, block_rows, interpret)
+    return out, (attna, attnc, None, None, None, None, pa, pc, ha, hc)
+
+
+def _pair_post_op_bwd(activation, use_pallas, block_rows, interpret, residuals, gs):
+    attna, attnc, r1a, r1c, sa, sc, pa, pc, ha, hc = residuals
+    ga, gc = gs
+    if use_pallas:
+        wa = (pa[0], pa[4], pa[6], pa[2], pa[3])  # w_o, w_up, w_down, g2, bb2
+        wc = (pc[0], pc[4], pc[6], pc[2], pc[3])
+        dattna, dattnc, dha, dhc, da, dc = _pair_post_run_bwd(
+            attna, attnc, ga, gc, r1a, r1c, sa, sc, wa, wc, activation, block_rows, interpret
+        )
+        # Kernel grad order: dw_o, db_o, dg2, dbb2, dw_up, db_up, dw_down,
+        # db_down == param order.
+        return (dattna.astype(attna.dtype), dattnc.astype(attnc.dtype), dha, dhc, da, dc)
+
+    def f(attna_, attnc_, ha_, hc_, pa_, pc_):
+        return (_post_reference(attna_, ha_, *pa_, activation),
+                _post_reference(attnc_, hc_, *pc_, activation))
+
+    _, vjp = jax.vjp(f, attna, attnc, ha, hc, pa, pc)
+    return vjp(gs)
+
+
+_pair_post_op.defvjp(_pair_post_op_fwd, _pair_post_op_bwd)
+
+
+def fused_block_pair_post(attna, attnc, ha, hc, params_a, params_c, activation="gelu", *,
+                          use_pallas=None, block_rows=None, interpret=False):
+    """Two post chains (actor+critic) per row tile.  ``params_*`` =
+    (w_o, b_o, ln2_scale, ln2_bias, w_up, b_up, w_down, b_down)."""
+    activation = activation.lower() if isinstance(activation, str) else activation
+    if not supports_fused_block(activation):
+        return (_post_reference(attna, ha, *params_a, activation),
+                _post_reference(attnc, hc, *params_c, activation))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    block_rows = block_rows or _DEFAULT_BLOCK
+    if use_pallas and kernel_mesh_status(attna.shape[0]) != (True, None):
+        use_pallas = False
+    return _pair_post_op(attna, attnc, ha, hc, tuple(params_a), tuple(params_c),
+                         activation, bool(use_pallas), block_rows, interpret)

@@ -53,6 +53,7 @@ __all__ = [
     "CausalMultiheadSelfAttention",
     "CausalTransformerEncoderLayer",
     "CausalTransformerEncoderLayerFactory",
+    "fused_pair_sequence",
 ]
 
 
@@ -560,6 +561,66 @@ class CausalMultiheadSelfAttention(Module):
         k_seg_nt = jnp.swapaxes(k_seg, 0, 1)  # [N, W+T]
         new_memory = self._final_memory(k_raw, v_all, k_valid_nt, k_seg_nt, seg, done2, memory)
         return outputs, new_memory, {}
+
+
+def fused_pair_sequence(layer_a, layer_c, xa, xc, mem_a, mem_c, done):
+    """Actor+critic encoder layers evaluated as ONE pair-kernel pass
+    (nn/kernels/fused_block.py pair variants): two pre chains in one program,
+    ONE lane-attention call over the env-concatenated halves (attention has no
+    weights and both layers share static config), two post chains in one
+    program.  Halves kernel launches per minibatch step vs two separate fused
+    passes.
+
+    Requires both memories to share the global ring cursor — true by
+    construction in this framework (both backbones advance through the same
+    rollout).  Returns (latent_a, latent_c, new_mem_a, new_mem_c).
+    """
+    from cusrl_tpu.nn.kernels.fused_block import fused_block_pair_post, fused_block_pair_pre
+
+    t_len, batch = xa.shape[:2]
+    rows = t_len * batch
+    use_pallas, interpret = layer_a._fused_flags()
+    ha, hc, qkva, qkvc = fused_block_pair_pre(
+        xa.reshape(rows, xa.shape[-1]), xc.reshape(rows, xc.shape[-1]),
+        layer_a._pre_params(), layer_c._pre_params(),
+        use_pallas=use_pallas, interpret=interpret,
+    )
+    qkv_dim = qkva.shape[-1]
+    qkv_cat = jnp.concatenate(
+        [qkva.reshape(t_len, batch, qkv_dim), qkvc.reshape(t_len, batch, qkv_dim)], axis=1
+    ).reshape(t_len * 2 * batch, qkv_dim)
+    mem_cat = {
+        "k_cache": jnp.concatenate([mem_a["k_cache"], mem_c["k_cache"]], axis=0),
+        "v_cache": jnp.concatenate([mem_a["v_cache"], mem_c["v_cache"]], axis=0),
+        "cache_mask": jnp.concatenate([mem_a["cache_mask"], mem_c["cache_mask"]], axis=0),
+        "cursor": mem_a["cursor"],
+    }
+    done_cat = jnp.concatenate([done, done], axis=1)
+    attn_cat, new_mem_cat = layer_a.attention.sequence_core(qkv_cat, mem_cat, done_cat, t_len, 2 * batch)
+    embed = layer_a.attention.input_dim
+    attn3 = attn_cat.reshape(t_len, 2 * batch, embed)
+    attna = attn3[:, :batch].reshape(rows, embed)
+    attnc = attn3[:, batch:].reshape(rows, embed)
+    outa, outc = fused_block_pair_post(
+        attna, attnc, ha, hc, layer_a._post_params(), layer_c._post_params(),
+        layer_a.feed_forward.activation, use_pallas=use_pallas, interpret=interpret,
+    )
+
+    def split_mem(half):
+        sl = slice(0, batch) if half == 0 else slice(batch, 2 * batch)
+        return {
+            "k_cache": new_mem_cat["k_cache"][sl],
+            "v_cache": new_mem_cat["v_cache"][sl],
+            "cache_mask": new_mem_cat["cache_mask"][sl],
+            "cursor": new_mem_cat["cursor"],
+        }
+
+    return (
+        outa.reshape(t_len, batch, embed),
+        outc.reshape(t_len, batch, embed),
+        split_mem(0),
+        split_mem(1),
+    )
 
 
 class CausalTransformerEncoderLayer(Module):
