@@ -294,3 +294,21 @@ def test_fused_block_kernels_on_hierarchical_mesh_match_single_device():
     np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_single), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+def test_tp_fallback_warns_once():
+    """Model-axis sharding must announce the Pallas->XLA fallback loudly,
+    exactly once per process (VERDICT r4 item 6)."""
+    import warnings as _warnings
+
+    from cusrl_tpu.nn.kernels import fused_mlp as fm
+
+    fm._tp_fallback_warned = False
+    tp = get_mesh(model_parallel_size=2)
+    with jax.set_mesh(tp):
+        with pytest.warns(UserWarning, match="disables the fused Pallas kernels"):
+            assert fm.kernel_mesh_status(1024) == (False, None)
+        # Second query: silent.
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            assert fm.kernel_mesh_status(1024) == (False, None)
