@@ -1,5 +1,6 @@
-"""Trace the transformer fused iteration and print the top self-time ops
-(parsed locally with tensorboard_plugin_profile — no TensorBoard needed)."""
+"""Trace the RECURRENT (GRU) fused iteration and print the top self-time ops
+(parsed locally with tensorboard_plugin_profile — no TensorBoard needed).
+Clone of tpu_attention_trace.py at the BENCH_MODE=recurrent config."""
 
 from __future__ import annotations
 
@@ -12,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-OUT = os.environ.get("TRACE_DIR", "/tmp/attn_trace")
+OUT = os.environ.get("TRACE_DIR", "/tmp/gru_trace")
 
 
 def main():
@@ -22,11 +23,10 @@ def main():
 
     num_envs, T = 4096, 24
     env = VelocityLocomotionEnv(num_instances=num_envs)
-    factory = cusrl_tpu.TransformerPpoAgentFactory(
+    factory = cusrl_tpu.RecurrentPpoAgentFactory(
         num_steps_per_update=T,
-        embed_dim=128,
-        num_heads=4,
-        attention_window=16,
+        rnn_type="gru",
+        rnn_hidden_size=64,
         mlp_hidden_dims=(128,),
         activation_fn="elu",
         sampler_epochs=5,
@@ -35,7 +35,6 @@ def main():
         defer_normalization_updates=True,
         store_original_observations=False,
         desired_kl_divergence=0.01,
-        fuse_actor_critic_evaluation=os.environ.get("TRACE_FUSE", "1") == "1",
     )
     agent = factory(env.spec)
     driver = ScanRolloutDriver(agent, env)
