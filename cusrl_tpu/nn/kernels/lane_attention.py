@@ -334,7 +334,7 @@ def lane_window_attention(
     *,
     window: int,
     slopes=None,
-    lane_block: int = 128,
+    lane_block: int | None = None,
     use_pallas: bool | None = None,
 ):
     """Cross-env windowed segment-masked attention (short-T training shapes).
@@ -353,6 +353,12 @@ def lane_window_attention(
 
     Returns fp32 ``[N, H, T, D]``; rows with no valid key are exactly zero.
     """
+    if lane_block is None:
+        import os
+
+        # Env-block sweep knob: instances process ``lane_block`` envs each
+        # (128-lane multiples); larger blocks mean fewer pipeline ramps.
+        lane_block = int(os.environ.get("CUSRL_TPU_LANE_BLOCK", 128))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     q_seg = q_seg.astype(jnp.int32)

@@ -585,41 +585,53 @@ def fused_pair_sequence(layer_a, layer_c, xa, xc, mem_a, mem_c, done):
         layer_a._pre_params(), layer_c._pre_params(),
         use_pallas=use_pallas, interpret=interpret,
     )
-    qkv_dim = qkva.shape[-1]
-    qkv_cat = jnp.concatenate(
-        [qkva.reshape(t_len, batch, qkv_dim), qkvc.reshape(t_len, batch, qkv_dim)], axis=1
-    ).reshape(t_len * 2 * batch, qkv_dim)
-    mem_cat = {
-        "k_cache": jnp.concatenate([mem_a["k_cache"], mem_c["k_cache"]], axis=0),
-        "v_cache": jnp.concatenate([mem_a["v_cache"], mem_c["v_cache"]], axis=0),
-        "cache_mask": jnp.concatenate([mem_a["cache_mask"], mem_c["cache_mask"]], axis=0),
-        "cursor": mem_a["cursor"],
-    }
-    done_cat = jnp.concatenate([done, done], axis=1)
-    attn_cat, new_mem_cat = layer_a.attention.sequence_core(qkv_cat, mem_cat, done_cat, t_len, 2 * batch)
     embed = layer_a.attention.input_dim
-    attn3 = attn_cat.reshape(t_len, 2 * batch, embed)
-    attna = attn3[:, :batch].reshape(rows, embed)
-    attnc = attn3[:, batch:].reshape(rows, embed)
+    qkv_dim = qkva.shape[-1]
+    import os
+
+    if os.environ.get("CUSRL_TPU_PAIR_CONCAT", "0") == "1":
+        # Env-concatenated single lane pass: one attention launch for both
+        # nets, but the concat/split copies of qkv + rings traced at ~1.5
+        # ms/iter at bench shapes — default OFF (two lane calls, no copies).
+        qkv_cat = jnp.concatenate(
+            [qkva.reshape(t_len, batch, qkv_dim), qkvc.reshape(t_len, batch, qkv_dim)], axis=1
+        ).reshape(t_len * 2 * batch, qkv_dim)
+        mem_cat = {
+            "k_cache": jnp.concatenate([mem_a["k_cache"], mem_c["k_cache"]], axis=0),
+            "v_cache": jnp.concatenate([mem_a["v_cache"], mem_c["v_cache"]], axis=0),
+            "cache_mask": jnp.concatenate([mem_a["cache_mask"], mem_c["cache_mask"]], axis=0),
+            "cursor": mem_a["cursor"],
+        }
+        done_cat = jnp.concatenate([done, done], axis=1)
+        attn_cat, new_mem_cat = layer_a.attention.sequence_core(qkv_cat, mem_cat, done_cat, t_len, 2 * batch)
+        attn3 = attn_cat.reshape(t_len, 2 * batch, embed)
+        attna = attn3[:, :batch].reshape(rows, embed)
+        attnc = attn3[:, batch:].reshape(rows, embed)
+
+        def split_mem(half):
+            sl = slice(0, batch) if half == 0 else slice(batch, 2 * batch)
+            return {
+                "k_cache": new_mem_cat["k_cache"][sl],
+                "v_cache": new_mem_cat["v_cache"][sl],
+                "cache_mask": new_mem_cat["cache_mask"][sl],
+                "cursor": new_mem_cat["cursor"],
+            }
+
+        new_mem_a, new_mem_c = split_mem(0), split_mem(1)
+    else:
+        attna, new_mem_a = layer_a.attention.sequence_core(qkva, mem_a, done, t_len, batch)
+        attnc, new_mem_c = layer_c.attention.sequence_core(qkvc, mem_c, done, t_len, batch)
+
     outa, outc = fused_block_pair_post(
         attna, attnc, ha, hc, layer_a._post_params(), layer_c._post_params(),
         layer_a.feed_forward.activation, use_pallas=use_pallas, interpret=interpret,
     )
 
-    def split_mem(half):
-        sl = slice(0, batch) if half == 0 else slice(batch, 2 * batch)
-        return {
-            "k_cache": new_mem_cat["k_cache"][sl],
-            "v_cache": new_mem_cat["v_cache"][sl],
-            "cache_mask": new_mem_cat["cache_mask"][sl],
-            "cursor": new_mem_cat["cursor"],
-        }
-
     return (
         outa.reshape(t_len, batch, embed),
         outc.reshape(t_len, batch, embed),
-        split_mem(0),
-        split_mem(1),
+        new_mem_a,
+        new_mem_c,
     )
 
 
