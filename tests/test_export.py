@@ -10,6 +10,8 @@ from cusrl_tpu.export import InferencePolicy, load_exported_policy
 from tests.helpers import create_dummy_env, run_training
 
 
+pytestmark = pytest.mark.slow
+
 def make_agent(env, recurrent=False, **kwargs):
     if recurrent:
         factory = cusrl_tpu.RecurrentPpoAgentFactory(

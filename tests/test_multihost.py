@@ -17,6 +17,8 @@ import sys
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

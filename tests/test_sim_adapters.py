@@ -17,6 +17,8 @@ from cusrl_tpu.environment.isaaclab import IsaacLabEnvAdapter, IsaacLabEnvLaunch
 from cusrl_tpu.environment.mjlab import MjlabEnvAdapter, MjlabPlayer, make_mjlab_env, make_mjlab_env_config
 
 
+pytestmark = pytest.mark.slow
+
 class _Space:
     def __init__(self, shape):
         self.shape = shape
