@@ -142,6 +142,9 @@ def main() -> None:
             defer_normalization_updates=not parity,
             store_original_observations=parity,
             desired_kl_divergence=0.01,
+            # Stacked actor+critic cell evaluation (JointSequentialEvaluation
+            # vmap path): doubles rows per BPTT cell matmul.
+            fuse_actor_critic_evaluation=os.environ.get("BENCH_FUSE", "0") == "1",
         )
     elif mode == "transformer":
         metric = "ppo_transformer_env_steps_per_s"
