@@ -183,9 +183,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         cache_dir = env
     if cache_dir is None:
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "cusrl_tpu", "xla_cache")
-    os.makedirs(cache_dir, exist_ok=True)
     import jax
 
+    if jax.default_backend() == "cpu" and os.environ.get("CUSRL_TPU_CACHE_CPU", "0") != "1":
+        # CPU compiles are fast and XLA:CPU AOT entries are machine-feature
+        # pinned (loading one compiled under a different feature snapshot
+        # logs SIGILL-risk errors); the cache's value is the minutes-long
+        # remote-TPU compiles.  CUSRL_TPU_CACHE_CPU=1 opts CPU runs in.
+        return None
+    os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache everything that took >=1 s to compile (the tiny CPU-test programs
     # stay out; every real TPU program over the tunnel is far above this).

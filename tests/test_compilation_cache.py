@@ -23,6 +23,7 @@ def _restore(prev_dir, prev_secs, prev_bytes):
 
 
 def test_enable_sets_config_and_creates_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("CUSRL_TPU_CACHE_CPU", "1")
     prev = (
         jax.config.jax_compilation_cache_dir,
         jax.config.jax_persistent_cache_min_compile_time_secs,
@@ -40,6 +41,7 @@ def test_enable_sets_config_and_creates_dir(tmp_path, monkeypatch):
 
 
 def test_env_var_overrides_and_disables(tmp_path, monkeypatch):
+    monkeypatch.setenv("CUSRL_TPU_CACHE_CPU", "1")
     prev = (
         jax.config.jax_compilation_cache_dir,
         jax.config.jax_persistent_cache_min_compile_time_secs,
@@ -65,6 +67,7 @@ def test_cache_file_written_on_compile(tmp_path, monkeypatch):
         jax.config.jax_persistent_cache_min_entry_size_bytes,
     )
     monkeypatch.delenv("CUSRL_TPU_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.setenv("CUSRL_TPU_CACHE_CPU", "1")
     monkeypatch.setenv("CUSRL_TPU_CACHE_MIN_COMPILE_SECS", "0")
     target = str(tmp_path / "xla_cache")
     try:
@@ -91,6 +94,7 @@ def test_cli_entry_wires_cache_before_first_jit(monkeypatch, tmp_path):
     )
     target = str(tmp_path / "cli_cache")
     monkeypatch.setenv("CUSRL_TPU_COMPILATION_CACHE_DIR", target)
+    monkeypatch.setenv("CUSRL_TPU_CACHE_CPU", "1")
     try:
         import importlib
 
@@ -98,5 +102,23 @@ def test_cli_entry_wires_cache_before_first_jit(monkeypatch, tmp_path):
 
         importlib.reload(cli_main)
         assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        _restore(*prev)
+
+
+def test_cpu_backend_skips_cache_by_default(tmp_path, monkeypatch):
+    """XLA:CPU AOT cache entries are machine-feature pinned (SIGILL risk when
+    loaded under a different snapshot): CPU backends skip the cache unless
+    CUSRL_TPU_CACHE_CPU=1."""
+    prev = (
+        jax.config.jax_compilation_cache_dir,
+        jax.config.jax_persistent_cache_min_compile_time_secs,
+        jax.config.jax_persistent_cache_min_entry_size_bytes,
+    )
+    monkeypatch.delenv("CUSRL_TPU_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.delenv("CUSRL_TPU_CACHE_CPU", raising=False)
+    try:
+        assert enable_compilation_cache(str(tmp_path / "nope")) is None
+        assert not (tmp_path / "nope").exists()
     finally:
         _restore(*prev)
