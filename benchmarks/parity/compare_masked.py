@@ -9,7 +9,7 @@ import os
 import sys
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/parity_masked"
-SEEDS = (1, 2, 3)
+SEEDS = (1, 2, 3, 4, 5)
 
 
 def reward_series(path):
@@ -39,15 +39,15 @@ def averaged_curve(all_series, points=16):
 
 
 def main():
-    for algo in ("recurrent", "transformer"):
+    for algo in ("recurrent", "transformer", "transformer_post"):
         print(f"\n## Masked Pendulum — {algo}")
         stats = {}
         for impl in ("ref", "ours"):
             finals, curves = [], []
             for seed in SEEDS:
-                path = os.path.join(OUT, f"{impl}_{algo}_s{seed}.jsonl")
+                file_algo = "transformer" if (algo == "transformer_post" and impl == "ref") else algo
+                path = os.path.join(OUT, f"{impl}_{file_algo}_s{seed}.jsonl")
                 if not os.path.exists(path):
-                    print(f"  missing: {path}")
                     continue
                 series = reward_series(path)
                 finals.append(final_quarter(series))
