@@ -98,6 +98,40 @@ def main():
     ms_lane_p = bench_primal(lambda *a: lane_window_attention(*a, window=W, use_pallas=True), 4096)
     emit(probe="primal_4096_ms", xla_reference=round(ms_ref_p, 3), lane_kernel=round(ms_lane_p, 3))
 
+    # -- counterfactual-append ("next token") variant: Mosaic compile +
+    # equality + primal timing at the bootstrap-pass shape (full rollout width)
+    from cusrl_tpu.nn.kernels.lane_attention import (
+        _next_token_reference,
+        lane_next_token_attention,
+    )
+
+    n_envs = 4096
+    qq, kk, vv, qs, ks, kv = make_raw(n_envs, H, T, W, D, seed=2)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2)
+    k_self = jax.random.normal(keys[0], qq.shape, jnp.float32)
+    v_self = jax.random.normal(keys[1], qq.shape, jnp.float32)
+    ref_n = jax.jit(lambda: _next_token_reference(qq, k_self, v_self, kk, vv, qs, ks, kv, W, None))()
+    got_n = jax.jit(lambda: lane_next_token_attention(
+        qq, k_self, v_self, kk, vv, qs, ks, kv, window=W, use_pallas=True))()
+    nerr = float(jnp.max(jnp.abs(got_n - ref_n)))
+    emit(probe="next_token_fwd_max_abs_err", value=nerr, n=n_envs)
+    assert nerr < 2e-2, nerr
+
+    def bench_next(fn, iters=50):
+        f = jax.jit(fn)
+        jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    ms_ref_n = bench_next(lambda: _next_token_reference(qq, k_self, v_self, kk, vv, qs, ks, kv, W, None))
+    ms_lane_n = bench_next(lambda: lane_next_token_attention(
+        qq, k_self, v_self, kk, vv, qs, ks, kv, window=W, use_pallas=True))
+    emit(probe="next_token_primal_4096_ms", xla_reference=round(ms_ref_n, 3),
+         lane_kernel=round(ms_lane_n, 3))
+
 
 if __name__ == "__main__":
     main()

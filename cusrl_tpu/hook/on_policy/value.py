@@ -35,7 +35,17 @@ class ValueComputation(Hook):
     termination_value: float = mutable_field(default=0.0)
     memory: Memory = frozen_field(default=None)
     bootstrap_truncated_states: bool = static_field(default=True)
-    deferred: bool | None = static_field(default=None)
+    # True: feedforward batched deferral.  "sequential": recurrent critics that
+    # support the counterfactual-append contract (nn/base.py) run ZERO critic
+    # passes inside the rollout scan — values come from one sequence-mode pass
+    # in pre_update (lane/fused-block kernels at update-path MFU) and bootstrap
+    # values from one eval_next_token cross-attention pass; both exact (the
+    # sequence==stepwise consistency invariant).  The per-step path ran the
+    # critic TWICE per rollout step (~2/3 of the transformer rollout scan's
+    # time) for bootstrap values consumed only at truncated + final rows.
+    # None: auto (feedforward -> True; capable recurrent -> "sequential" unless
+    # CUSRL_TPU_DEFERRED_SEQ=0; otherwise False = per-step).
+    deferred: bool | str | None = static_field(default=None)
     # TPU perf knob (deferred mode): bootstrap values are CONSUMED only at
     # truncated rows and the final step, so instead of a second full [T*N]
     # critic pass, gather the (at most N, when episodes span the window)
@@ -46,15 +56,39 @@ class ValueComputation(Hook):
     sparse_bootstrap: bool = static_field(default=False)
 
     def init(self, agent, key):
+        import os
+
         hook = self
         if agent.environment_spec.final_state_is_missing:
             hook = hook.replace(bootstrap_truncated_states=False)
         if hook.deferred is None:
-            hook = hook.replace(deferred=not agent.critic.is_recurrent)
+            # Samplers replaying BPTT windows from arbitrary rollout offsets
+            # (requires_per_step_memory) need the per-step critic_memory
+            # snapshots only the per-step path records.
+            per_step_sampler = getattr(agent.sampler, "requires_per_step_memory", False)
+            if not agent.critic.is_recurrent:
+                hook = hook.replace(deferred=True)
+            elif (
+                not per_step_sampler
+                and getattr(agent.critic, "supports_next_token_eval", False)
+                and os.environ.get("CUSRL_TPU_DEFERRED_SEQ", "1") != "0"
+            ):
+                hook = hook.replace(deferred="sequential")
+            else:
+                hook = hook.replace(deferred=False)
         if agent.critic.is_recurrent:
-            if hook.deferred:
-                raise ValueError("deferred ValueComputation requires a feedforward critic")
+            if hook.deferred is True:
+                raise ValueError(
+                    "deferred=True ValueComputation requires a feedforward critic"
+                    " (recurrent critics use deferred='sequential')"
+                )
+            if hook.deferred == "sequential" and not getattr(agent.critic, "supports_next_token_eval", False):
+                raise ValueError(
+                    "deferred='sequential' requires a critic supporting next-token evaluation"
+                )
             hook = hook.replace(memory=agent.critic.init_memory(agent.parallelism))
+        elif hook.deferred == "sequential":
+            hook = hook.replace(deferred=True)  # feedforward: batched deferral is strictly simpler
         return hook
 
     def post_act(self, state, transition):
@@ -72,12 +106,14 @@ class ValueComputation(Hook):
         return self.replace(memory=next_memory), transition
 
     def rollout_memory_entries(self):
-        if self.memory is None or self.deferred:
+        if self.memory is None or self.deferred is True:
             return {}
+        # deferred="sequential" still records the rollout-initial memory: the
+        # update's sequence-mode value-loss re-evaluation replays from it.
         return {"critic_memory": self.memory}
 
     def post_step(self, state, transition):
-        if self.memory is None:
+        if self.memory is None or self.deferred == "sequential":
             return self, transition
         from cusrl_tpu.nn.base import reset_memory
 
@@ -97,6 +133,32 @@ class ValueComputation(Hook):
         next_state = get_first(rollout, "next_state", "next_observation")
         terminated = rollout["terminated"]  # [T, N, 1] bool
         truncated = rollout["truncated"]
+
+        if self.deferred == "sequential":
+            from cusrl_tpu.nn.base import reset_memory
+
+            observation = get_first(rollout, "state", "observation")
+            done = rollout["done"]
+            # Zeroing the LAST step's done leaves every query's masking
+            # unchanged (a reset only affects later queries) but makes the
+            # returned memory the pre-final-reset state — what the last-row
+            # bootstrap evaluation needs.
+            done_seq = done.at[-1].set(jnp.zeros_like(done[-1]))
+            value, final_memory, ctx = critic.sequential_with_ctx(observation, self.memory, done_seq)
+            if self.bootstrap_truncated_states:
+                bootstrap = critic.eval_next_token(next_state, ctx)
+                next_value = jnp.concatenate([value[1:], bootstrap[-1:]], axis=0)
+                next_value = jnp.where(truncated, bootstrap, next_value)
+            else:
+                last_value, _, _ = critic(next_state[-1], final_memory)
+                next_value = jnp.concatenate([value[1:], last_value[None]], axis=0)
+                next_value = jnp.where(truncated, value, next_value)
+            next_value = jnp.where(
+                terminated, jnp.asarray(self.termination_value, next_value.dtype), next_value
+            )
+            new_memory = reset_memory(final_memory, done[-1])
+            rollout = {**rollout, "value": value, "next_value": next_value}
+            return self.replace(memory=new_memory), rollout, {}
 
         def eval_batched(states, memory):
             # Single-step critic over a [T, N, ...] stack folded into one batch.

@@ -111,6 +111,41 @@ class Module:
     def __call__(self, x, memory: Memory = None, *, sequential: bool = False, **kwargs):
         raise NotImplementedError
 
+    # -- counterfactual-append contract ---------------------------------------
+    #
+    # TPU-native extension with no reference counterpart: lets consumers that
+    # need "the module's output for token y[t] as if it were processed right
+    # after x[t]" (e.g. GAE bootstrap values for next_states,
+    # hook/on_policy/value.py deferred-sequential mode) compute ALL of them in
+    # one batched pass instead of running the module twice per rollout step
+    # inside the scan.  The contract is exact: eval_next_token(y, ctx)[t] must
+    # equal stepping the module on y[t] from the post-x[t] (pre-reset) state,
+    # WITHOUT advancing state.
+
+    @property
+    def supports_next_token_eval(self) -> bool:
+        """True when ``sequential_with_ctx``/``eval_next_token`` are exact for
+        this module.  Feedforward modules are trivially supported (no state);
+        recurrent modules must override both methods to opt in."""
+        return not self.is_recurrent
+
+    def sequential_with_ctx(self, x, memory: Memory, done):
+        """Sequence-mode evaluation (``x [T, N, C]``) that also returns an
+        opaque context consumed by :meth:`eval_next_token`."""
+        out, new_memory, _ = self(x, memory, sequential=True, done=done)
+        return out, new_memory, None
+
+    def eval_next_token(self, y, ctx):
+        """Counterfactual append: ``out[t] = module(y[t])`` evaluated from the
+        state after consuming ``x[0..t]`` (pre-reset at t), without advancing
+        state.  ``y [T, N, C]``; ``ctx`` from :meth:`sequential_with_ctx`."""
+        if self.is_recurrent:
+            raise NotImplementedError(
+                f"{type(self).__name__} does not implement next-token evaluation"
+            )
+        out, _, _ = self(y)
+        return out
+
 
 class ModuleFactory:
     """Base for module factory dataclasses (cusrl/nn/module/module.py Factory

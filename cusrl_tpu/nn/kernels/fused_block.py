@@ -981,6 +981,16 @@ def _pair_post_op_bwd(activation, use_pallas, block_rows, interpret, residuals, 
 _pair_post_op.defvjp(_pair_post_op_fwd, _pair_post_op_bwd)
 
 
+# The pair POST bwd kernel carries BOTH chains' saved activations per row
+# tile; at 1024 rows its scoped-VMEM stack sits within ~0.2 MB of the 16 MB
+# limit, and whether it fits depends on the surrounding program's layout
+# choices (it first OOM'd — by 180 KB — when the deferred-sequential value
+# pass joined the fused iteration).  512 leaves ~50% slack; the global
+# TFBLOCK=512 A/B measured only -0.7 ms/iter and only a share of that is the
+# pair post.  Override with CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS.
+_PAIR_POST_BLOCK = int(os.environ.get("CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS", 0)) or min(_DEFAULT_BLOCK, 512)
+
+
 def fused_block_pair_post(attna, attnc, ha, hc, params_a, params_c, activation="gelu", *,
                           use_pallas=None, block_rows=None, interpret=False):
     """Two post chains (actor+critic) per row tile.  ``params_*`` =
@@ -991,7 +1001,7 @@ def fused_block_pair_post(attna, attnc, ha, hc, params_a, params_c, activation="
                 _post_reference(attnc, hc, *params_c, activation))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    block_rows = block_rows or _DEFAULT_BLOCK
+    block_rows = block_rows or _PAIR_POST_BLOCK
     if use_pallas and kernel_mesh_status(attna.shape[0]) != (True, None):
         use_pallas = False
     return _pair_post_op(attna, attnc, ha, hc, tuple(params_a), tuple(params_c),

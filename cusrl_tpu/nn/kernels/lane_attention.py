@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lane_window_attention"]
+__all__ = ["lane_window_attention", "lane_next_token_attention"]
 
 
 def _round_up(value: int, multiple: int) -> int:
@@ -322,6 +322,165 @@ def _lane_em_bwd(window, slopes, lane_block, residuals, g_em):
 
 
 _lane_em_op.defvjp(_lane_em_fwd, _lane_em_bwd)
+
+
+def _next_fwd_kernel(q_ref, ks_ref, vs_ref, k_ref, v_ref, q_seg_ref, k_seg_ref, k_valid_ref,
+                     out_ref, *, window: int, scale: float, slopes):
+    """Counterfactual-append ("next token") attention: query t attends combined
+    keys ``[t+1, W+t]`` (band slabs j = 1..W — the W tokens its ring would hold
+    after writing y[t] over the oldest slot) PLUS its own k/v (``ks``/``vs``,
+    the self key the single-step path writes before attending).  Same slab
+    arithmetic as ``_fwd_kernel``; the self term is one extra elementwise slab
+    with ALiBi distance 0.  Primal-only (bootstrap values are stop-gradient)."""
+    _, dim, t8, _ = q_ref.shape
+    from jax.experimental import pallas as pl
+
+    h = 0
+    head_id = pl.program_id(1)
+    q_seg = q_seg_ref[...]
+    neg = jnp.float32(-1e30)
+
+    probs = []
+    masks = []
+    # Self slab first: always valid, distance 0.
+    acc = jnp.zeros_like(q_seg, jnp.float32)
+    for d in range(dim):
+        acc += q_ref[h, d].astype(jnp.float32) * ks_ref[h, d].astype(jnp.float32)
+    acc = acc * scale
+    self_valid = q_seg > -2  # padded queries (seg -2) stay fully masked
+    acc = jnp.where(self_valid, acc, neg)
+    masks.append(self_valid)
+    probs.append(acc)
+    row_max = acc
+    for j in range(1, window + 1):
+        acc = jnp.zeros_like(q_seg, jnp.float32)
+        for d in range(dim):
+            acc += q_ref[h, d].astype(jnp.float32) * k_ref[h, d, j : j + t8, :].astype(jnp.float32)
+        acc = acc * scale
+        if slopes is not None:
+            slope = sum(
+                jnp.float32(s) * (head_id == i).astype(jnp.float32) for i, s in enumerate(slopes)
+            )
+            acc = acc - slope * jnp.float32(window + 1 - j)
+        m = (k_seg_ref[j : j + t8, :] == q_seg) & (k_valid_ref[j : j + t8, :] > 0)
+        acc = jnp.where(m, acc, neg)
+        masks.append(m)
+        probs.append(acc)
+        row_max = jnp.maximum(row_max, acc)
+    denom = jnp.zeros_like(row_max)
+    for i in range(len(probs)):
+        p = jnp.where(masks[i], jnp.exp(probs[i] - row_max), 0.0)
+        probs[i] = p
+        denom = denom + p
+    inv = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0), 0.0)
+    for i in range(len(probs)):
+        probs[i] = probs[i] * inv
+    for d in range(dim):
+        acc = probs[0] * vs_ref[h, d].astype(jnp.float32)
+        for j in range(1, window + 1):
+            acc += probs[j] * v_ref[h, d, j : j + t8, :].astype(jnp.float32)
+        out_ref[h, d] = acc
+
+
+def lane_next_token_attention(
+    q,
+    k_self,
+    v_self,
+    k,
+    v,
+    q_seg,
+    k_seg,
+    k_valid,
+    *,
+    window: int,
+    slopes=None,
+    lane_block: int | None = None,
+    use_pallas: bool | None = None,
+):
+    """Counterfactual-append attention for next-token (bootstrap-value) queries.
+
+    ``q``/``k_self``/``v_self`` ``[N, H, T, D]`` are the appended tokens'
+    projections (q RoPE'd at positions ``W+t+1``); ``k``/``v`` ``[N, H, S, D]``
+    are the VALUE pass's combined keys (cache ++ sequence, k RoPE'd at its
+    combined positions).  Query t attends combined keys ``[t+1, W+t]`` under
+    the same segment/validity masks as the value pass, plus its own k/v.
+    Forward-only (bootstrap values are consumed under stop-gradient).
+    Returns fp32 ``[N, H, T, D]``.
+    """
+    if lane_block is None:
+        import os
+
+        lane_block = int(os.environ.get("CUSRL_TPU_LANE_BLOCK", 128))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    q_seg = q_seg.astype(jnp.int32)
+    k_seg = k_seg.astype(jnp.int32)
+    k_valid = k_valid.astype(jnp.int32)
+    if not use_pallas:
+        return _next_token_reference(q, k_self, v_self, k, v, q_seg, k_seg, k_valid, window, slopes)
+
+    n, heads, t_len, dim = q.shape
+    slopes_t = None if slopes is None else tuple(float(s) for s in np.asarray(slopes))
+    q_em, k_em, v_em, q_seg_em, k_seg_em, k_valid_em, t8, s8, n_pad = _to_lane_layout(
+        q, k, v, q_seg, k_seg, k_valid, window, lane_block
+    )
+
+    def pad_self(x):
+        return jnp.transpose(
+            jnp.pad(x, ((0, n_pad - n), (0, 0), (0, t8 - t_len), (0, 0))), (1, 3, 2, 0)
+        )  # [H, D, T8, Np]
+
+    ks_em, vs_em = pad_self(k_self), pad_self(v_self)
+    from jax.experimental import pallas as pl
+
+    scale = 1.0 / float(np.sqrt(dim))
+    grid = (n_pad // lane_block, heads)
+    kernel = functools.partial(_next_fwd_kernel, window=window, scale=scale, slopes=slopes_t)
+    t_spec = pl.BlockSpec((1, dim, t8, lane_block), lambda i, h: (h, 0, 0, i))
+    s_spec = pl.BlockSpec((1, dim, s8, lane_block), lambda i, h: (h, 0, 0, i))
+    out_em = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            t_spec, t_spec, t_spec, s_spec, s_spec,
+            pl.BlockSpec((t8, lane_block), lambda i, h: (0, i)),
+            pl.BlockSpec((s8, lane_block), lambda i, h: (0, i)),
+            pl.BlockSpec((s8, lane_block), lambda i, h: (0, i)),
+        ],
+        out_specs=[t_spec],
+        out_shape=[jax.ShapeDtypeStruct((heads, dim, t8, n_pad), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(q_em, ks_em, vs_em, k_em, v_em, q_seg_em, k_seg_em, k_valid_em)[0]
+    return jnp.transpose(out_em, (3, 0, 2, 1))[:n, :, :t_len]  # [N, H, T, D]
+
+
+def _next_token_reference(q, k_self, v_self, k, v, q_seg, k_seg, k_valid, window: int, slopes):
+    """XLA oracle for lane_next_token_attention (also the off-TPU path): dense
+    masked softmax over [band keys ++ self] with the self logit folded in."""
+    t_len, s_len = q.shape[-2], k.shape[-2]
+    q_pos = window + 1 + jnp.arange(t_len)
+    k_pos = jnp.arange(s_len)
+    in_band = (k_pos[None, :] <= q_pos[:, None] - 1) & (k_pos[None, :] >= q_pos[:, None] - window)
+    mask = (
+        in_band[None]
+        & (q_seg[:, :, None] == k_seg[:, None, :])
+        & (k_valid[:, None, :] > 0)
+    )[:, None]  # [N, 1, T, S]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    q32 = q.astype(jnp.float32)
+    scores = jnp.einsum("nhtd,nhsd->nhts", q32, k.astype(jnp.float32)) * scale
+    if slopes is not None:
+        distance = (q_pos[:, None] - k_pos[None, :]).astype(jnp.float32)
+        scores = scores - jnp.asarray(slopes, jnp.float32)[None, :, None, None] * distance[None, None]
+    scores = jnp.where(mask, scores, -1e30)
+    self_score = jnp.sum(q32 * k_self.astype(jnp.float32), axis=-1) * scale  # [N, H, T]
+    row_max = jnp.maximum(jnp.max(scores, axis=-1), self_score)
+    eb = jnp.exp(scores - row_max[..., None]) * mask
+    es = jnp.exp(self_score - row_max)
+    denom = jnp.sum(eb, axis=-1) + es
+    out = jnp.einsum("nhts,nhsd->nhtd", eb, v.astype(jnp.float32))
+    out = out + es[..., None] * v_self.astype(jnp.float32)
+    return out / denom[..., None]
 
 
 def lane_window_attention(

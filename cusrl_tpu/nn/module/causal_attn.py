@@ -229,7 +229,8 @@ class CausalMultiheadSelfAttention(Module):
         }
         return new_memory
 
-    def __call__(self, x, memory: Memory = None, *, sequential: bool = False, done=None, **kwargs):
+    def __call__(self, x, memory: Memory = None, *, sequential: bool = False, done=None,
+                 collect_next_ctx: bool = False, **kwargs):
         if memory is None:
             batch = x.shape[1] if sequential else x.shape[0]
             memory = self.init_memory(batch)
@@ -240,6 +241,10 @@ class CausalMultiheadSelfAttention(Module):
             done = jnp.zeros((*x.shape[:2], 1), bool)
 
         mode = self.sequence_mode
+        if collect_next_ctx and mode == "scan":
+            # The scan cell has no whole-sequence key tensors to expose; the
+            # batched path is equality-tested against it and provides them.
+            mode = "batched"
         if mode == "auto":
             t_len, window = x.shape[0], self.window
             # Short-T training shapes (the RL hot path) use the cross-env
@@ -266,9 +271,9 @@ class CausalMultiheadSelfAttention(Module):
                 band = (1 + -(-window // block)) * block
                 mode = "banded" if (band * 2 <= window + t_len and not in_mesh) else "batched"
         if mode in ("banded", "lane"):
-            return self._sequence_kernel(x, memory, done, kernel=mode)
+            return self._sequence_kernel(x, memory, done, kernel=mode, collect_ctx=collect_next_ctx)
         if mode == "batched":
-            return self._sequence_batched(x, memory, done)
+            return self._sequence_batched(x, memory, done, collect_ctx=collect_next_ctx)
 
         def body(carry, xs):
             memory_t = carry
@@ -286,7 +291,7 @@ class CausalMultiheadSelfAttention(Module):
         final_memory, outputs = jax.lax.scan(body, memory, (x, done))
         return outputs, final_memory, {}
 
-    def _sequence_kernel(self, x, memory, done, *, kernel: str):
+    def _sequence_kernel(self, x, memory, done, *, kernel: str, collect_ctx: bool = False):
         """Pallas flash paths (banded / lane): same mask semantics as
         ``_sequence_batched`` (tests/test_banded_attention.py,
         tests/test_lane_attention.py) with only the non-empty band computed."""
@@ -297,7 +302,8 @@ class CausalMultiheadSelfAttention(Module):
         # same-session A/B) — XLA schedules the wrapper's transposes better
         # than the [3E, C]@[C, T·B] projection layouts.  Kept default-off for
         # larger-embed/multi-layer configs (docs/ROADMAP.md option ledger).
-        if kernel == "lane" and self.mha.q_norm is None and os.environ.get("CUSRL_TPU_LANE_EM", "0") == "1":
+        if (kernel == "lane" and self.mha.q_norm is None and not collect_ctx
+                and os.environ.get("CUSRL_TPU_LANE_EM", "0") == "1"):
             return self._sequence_lane_em(x, memory, done)
         t_len, batch = x.shape[:2]
         window = self.window
@@ -322,9 +328,12 @@ class CausalMultiheadSelfAttention(Module):
         outputs = jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
 
         new_memory = self._final_memory(k_raw, v_all, k_valid, k_seg, seg, done2, memory)
-        return outputs, new_memory, {}
+        aux = {}
+        if collect_ctx:
+            aux["next_ctx"] = (k_rot, v_all, k_valid, k_seg, q_seg)
+        return outputs, new_memory, aux
 
-    def sequence_core(self, qkv_flat, memory, done, t_len: int, batch: int):
+    def sequence_core(self, qkv_flat, memory, done, t_len: int, batch: int, *, collect_ctx: bool = False):
         """Attention middle for the fused-block path: pre-projected fused
         ``qkv_flat [T·N, 3E]`` (bf16, pre-RoPE) in, merged-heads attention out
         ``[T·N, E]`` fp32 (NO out-projection — that lives in the post kernel,
@@ -376,6 +385,8 @@ class CausalMultiheadSelfAttention(Module):
         merged = self.mha._merge(out)  # [N, T, E] fp32
         merged_flat = jnp.swapaxes(merged, 0, 1).reshape(t_len * batch, self.input_dim)
         new_memory = self._final_memory(k_raw, v_all, k_valid, k_seg, seg, done2, memory)
+        if collect_ctx:
+            return merged_flat, new_memory, (k_rot, v_all, k_valid, k_seg, q_seg)
         return merged_flat, new_memory
 
     def _rope_em(self, x_em, positions):
@@ -505,7 +516,7 @@ class CausalMultiheadSelfAttention(Module):
         }
         return outputs, new_memory, {}
 
-    def _sequence_batched(self, x, memory, done):
+    def _sequence_batched(self, x, memory, done, *, collect_ctx: bool = False):
         """All T queries in one masked SDPA over [cache ++ sequence] keys.
 
         Mask semantics (provably identical to the scan cell):
@@ -560,7 +571,64 @@ class CausalMultiheadSelfAttention(Module):
         k_valid_nt = jnp.swapaxes(k_valid, 0, 1).astype(jnp.int32)  # [N, W+T]
         k_seg_nt = jnp.swapaxes(k_seg, 0, 1)  # [N, W+T]
         new_memory = self._final_memory(k_raw, v_all, k_valid_nt, k_seg_nt, seg, done2, memory)
-        return outputs, new_memory, {}
+        aux = {}
+        if collect_ctx:
+            aux["next_ctx"] = (k_rot, v_all, k_valid_nt, k_seg_nt, jnp.swapaxes(seg, 0, 1))
+        return outputs, new_memory, aux
+
+    # -- counterfactual-append evaluation (nn/base.py contract) ----------------
+
+    @property
+    def supports_next_token_eval(self) -> bool:
+        return True
+
+    def sequential_with_ctx(self, x, memory: Memory, done):
+        out, new_memory, aux = self(x, memory, sequential=True, done=done, collect_next_ctx=True)
+        return out, new_memory, aux.pop("next_ctx")
+
+    def eval_next_core(self, q, k_self_rot, v_self, ctx):
+        """Cross+self attention for counterfactual-append queries.
+
+        Query t attends the value-pass keys at combined positions
+        ``[t+1, W+t]`` — exactly the W tokens its ring would still hold after
+        writing y[t] over the oldest slot — plus its own k/v (the self key the
+        single-step path writes before attending).  Same segment/validity
+        masking as the sequence paths; fp32 softmax with the self logit folded
+        into the normalizer.  ``q``/``k_self_rot`` are RoPE'd at positions
+        ``W + t`` (relative rotations then match the stepwise ring's
+        age-derived positions).  Returns ``[N, H, T, D]`` fp32 (merge-ready).
+        """
+        from cusrl_tpu.nn.kernels.lane_attention import lane_next_token_attention
+
+        k_rot, v_all, k_valid, k_seg, q_seg = ctx
+        slopes = alibi_slopes(self.mha.num_heads) if self.use_alibi else None
+        # Kernel routing mirrors the sequence "auto" rule: the lane-layout
+        # Pallas kernel on TPU outside meshes at short T; the XLA oracle
+        # (dense masked softmax with the self logit folded in) otherwise —
+        # forward-only either way (bootstrap values are stop-gradient).
+        in_mesh = False
+        try:
+            amb = jax.sharding.get_abstract_mesh()
+            in_mesh = amb is not None and not getattr(amb, "empty", True)
+        except Exception:  # noqa: BLE001 - conservative under exotic contexts
+            in_mesh = False
+        use_pallas = q.shape[2] <= 64 and jax.default_backend() == "tpu" and not in_mesh
+        return lane_next_token_attention(
+            q, k_self_rot, v_self, k_rot, v_all, q_seg, k_seg, k_valid,
+            window=self.window, slopes=slopes, use_pallas=use_pallas,
+        )
+
+    def eval_next_token(self, y, ctx):
+        """y [T, N, C] -> [T, N, C]: attention output for y[t] as if processed
+        right after x[t] (ring advanced by y[t]'s own write), without
+        advancing the ring."""
+        t_len = y.shape[0]
+        q_pos = self.window + 1 + jnp.arange(t_len)
+        y_nt = jnp.swapaxes(y, 0, 1)  # [N, T, C]
+        q, k_self, v_self = self.mha.project_qkv_raw(y_nt, q_positions=q_pos)
+        k_self_rot = self.mha.rope_k(k_self, q_pos)
+        out = self.eval_next_core(q, k_self_rot, v_self, ctx)
+        return jnp.swapaxes(self.mha.merge_output(out), 0, 1)  # [T, N, C]
 
 
 def fused_pair_sequence(layer_a, layer_c, xa, xc, mem_a, mem_c, done):
@@ -826,6 +894,104 @@ class CausalTransformerEncoderLayer(Module):
         h = self.input_proj(x) if self.input_proj is not None else x
         h, new_memory = self._block(h, memory, sequential=sequential, done=done)
         return h, new_memory, {}
+
+    # -- counterfactual-append evaluation (nn/base.py contract) ----------------
+
+    @property
+    def supports_next_token_eval(self) -> bool:
+        return True
+
+    def sequential_with_ctx(self, x, memory: Memory, done):
+        """Sequence pass that also captures the attention key context for
+        :meth:`eval_next_token` — same route selection as ``__call__``."""
+        if memory is None:
+            memory = self.init_memory(x.shape[1])
+        if done is None:
+            done = jnp.zeros((*x.shape[:2], 1), bool)
+        if self._fused_eligible(x, True):
+            from cusrl_tpu.nn.kernels.fused_block import fused_block_post, fused_block_pre
+
+            t_len, batch = x.shape[:2]
+            rows = t_len * batch
+            use_pallas, interpret = self._fused_flags()
+            x_flat = x.reshape(rows, x.shape[-1])
+            h, qkv = fused_block_pre(x_flat, *self._pre_params(), use_pallas=use_pallas, interpret=interpret)
+            attn_flat, new_memory, ctx = self.attention.sequence_core(
+                qkv, memory, done, t_len, batch, collect_ctx=True
+            )
+            out = fused_block_post(
+                attn_flat, h, *self._post_params(), self.feed_forward.activation,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+            return out.reshape(t_len, batch, -1), new_memory, ctx
+        h = self.input_proj(x) if self.input_proj is not None else x
+        attn = self.attention
+        if self.norm_mode == "pre":
+            attn_out, new_memory, aux = attn(
+                self.norm1(h), memory, sequential=True, done=done, collect_next_ctx=True
+            )
+            out = self.gate1(h, attn_out)
+            out = self.gate2(out, self.feed_forward(self.norm2(out)))
+        elif self.norm_mode == "post":
+            attn_out, new_memory, aux = attn(h, memory, sequential=True, done=done, collect_next_ctx=True)
+            out = self.norm1(self.gate1(h, attn_out))
+            out = self.norm2(self.gate2(out, self.feed_forward(out)))
+        else:
+            attn_out, new_memory, aux = attn(h, memory, sequential=True, done=done, collect_next_ctx=True)
+            out = self.gate1(h, attn_out)
+            out = self.gate2(out, self.feed_forward(out))
+        return out, new_memory, aux.pop("next_ctx")
+
+    def eval_next_token(self, y, ctx):
+        attn = self.attention
+        mha = attn.mha
+        t_len, batch = y.shape[:2]
+        q_pos = attn.window + 1 + jnp.arange(t_len)
+        if self._fused_eligible(y, True):
+            from cusrl_tpu.nn.kernels.fused_block import fused_block_post, fused_block_pre
+
+            rows = t_len * batch
+            embed = attn.input_dim
+            heads = mha.num_heads
+            head_dim = embed // heads
+            use_pallas, interpret = self._fused_flags()
+            h, qkv = fused_block_pre(
+                y.reshape(rows, y.shape[-1]), *self._pre_params(),
+                use_pallas=use_pallas, interpret=interpret,
+            )
+
+            def to_heads(cols):
+                part = qkv[:, cols : cols + embed].reshape(t_len, batch, heads, head_dim)
+                return jnp.transpose(part, (1, 2, 0, 3))  # [N, H, T, D]
+
+            q, k_self, v_self = to_heads(0), to_heads(embed), to_heads(2 * embed)
+            if mha.rope is not None:
+                q = mha.rope(q, q_pos)
+            k_self_rot = mha.rope_k(k_self, q_pos)
+            out_heads = attn.eval_next_core(q, k_self_rot, v_self, ctx)
+            merged = mha._merge(out_heads)  # [N, T, E] fp32
+            merged_flat = jnp.swapaxes(merged, 0, 1).reshape(rows, embed)
+            out = fused_block_post(
+                merged_flat, h, *self._post_params(), self.feed_forward.activation,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+            return out.reshape(t_len, batch, -1)
+        h = self.input_proj(y) if self.input_proj is not None else y
+        attn_in = self.norm1(h) if self.norm_mode == "pre" else h
+        q, k_self, v_self = mha.project_qkv_raw(jnp.swapaxes(attn_in, 0, 1), q_positions=q_pos)
+        k_self_rot = mha.rope_k(k_self, q_pos)
+        out_heads = attn.eval_next_core(q, k_self_rot, v_self, ctx)
+        attn_out = jnp.swapaxes(mha.merge_output(out_heads), 0, 1)  # [T, N, E]
+        if self.norm_mode == "pre":
+            out = self.gate1(h, attn_out)
+            out = self.gate2(out, self.feed_forward(self.norm2(out)))
+        elif self.norm_mode == "post":
+            out = self.norm1(self.gate1(h, attn_out))
+            out = self.norm2(self.gate2(out, self.feed_forward(out)))
+        else:
+            out = self.gate1(h, attn_out)
+            out = self.gate2(out, self.feed_forward(out))
+        return out
 
 
 @dataclasses.dataclass

@@ -58,6 +58,20 @@ class Value(Module):
         aux["backbone.output"] = latent
         return value, new_memory, aux
 
+    # -- counterfactual-append evaluation (nn/base.py contract) ----------------
+
+    @property
+    def supports_next_token_eval(self) -> bool:
+        return (not self.action_aware) and self.backbone.supports_next_token_eval
+
+    def sequential_with_ctx(self, state, memory: Memory, done):
+        latent, new_memory, ctx = self.backbone.sequential_with_ctx(state, memory, done)
+        return self.head(latent.astype(jnp.float32)), new_memory, ctx
+
+    def eval_next_token(self, y, ctx):
+        latent = self.backbone.eval_next_token(y, ctx)
+        return self.head(latent.astype(jnp.float32))
+
 
 @dataclasses.dataclass
 class ValueFactory:

@@ -48,6 +48,28 @@ class Sequential(Module):
                 aux[f"{index}.{k}"] = v
         return x, (new_memory or None), aux
 
+    # -- counterfactual-append contract (nn/base.py) ---------------------------
+
+    @property
+    def supports_next_token_eval(self) -> bool:
+        return all(m.supports_next_token_eval for m in self.modules)
+
+    def sequential_with_ctx(self, x, memory: Memory, done):
+        new_memory = {}
+        ctxs = []
+        for index, module in enumerate(self.modules):
+            sub_memory = None if memory is None else memory.get(str(index))
+            x, sub_new, sub_ctx = module.sequential_with_ctx(x, sub_memory, done)
+            if module.is_recurrent:
+                new_memory[str(index)] = sub_new
+            ctxs.append(sub_ctx)
+        return x, (new_memory or None), tuple(ctxs)
+
+    def eval_next_token(self, y, ctx):
+        for module, sub_ctx in zip(self.modules, ctx):
+            y = module.eval_next_token(y, sub_ctx)
+        return y
+
 
 @dataclasses.dataclass
 class SequentialFactory(ModuleFactory):

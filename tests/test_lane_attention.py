@@ -128,3 +128,25 @@ def test_lane_sequence_mode_matches_scan_mode():
     _, _, mask_l = attn._unrolled_cache(mem_l)
     _, _, mask_s = attn._unrolled_cache(mem_s)
     np.testing.assert_allclose(np.asarray(mask_l), np.asarray(mask_s), atol=1e-6)
+
+
+@pytest.mark.parametrize("use_alibi", [False, True])
+@pytest.mark.parametrize("t_len,window", [(8, 4), (7, 5)])
+def test_lane_next_token_kernel_interpret_matches_reference(use_alibi, t_len, window):
+    """Counterfactual-append variant: band [t+1, W+t] plus the self key."""
+    from cusrl_tpu.nn.kernels.lane_attention import (
+        _next_token_reference,
+        lane_next_token_attention,
+    )
+
+    q, k, v, q_seg, k_seg, k_valid = make_raw(t_len=t_len, window=window)
+    keys = jax.random.split(jax.random.PRNGKey(9), 2)
+    k_self = jax.random.normal(keys[0], q.shape, jnp.float32)
+    v_self = jax.random.normal(keys[1], q.shape, jnp.float32)
+    slopes = jnp.array([0.5, 0.25], jnp.float32) if use_alibi else None
+    ref = _next_token_reference(q, k_self, v_self, k, v, q_seg, k_seg, k_valid, window, slopes)
+    got = lane_next_token_attention(
+        q, k_self, v_self, k, v, q_seg, k_seg, k_valid,
+        window=window, slopes=slopes, use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
