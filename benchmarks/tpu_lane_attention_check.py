@@ -110,25 +110,30 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(11), 2)
     k_self = jax.random.normal(keys[0], qq.shape, jnp.float32)
     v_self = jax.random.normal(keys[1], qq.shape, jnp.float32)
-    ref_n = jax.jit(lambda: _next_token_reference(qq, k_self, v_self, kk, vv, qs, ks, kv, W, None))()
-    got_n = jax.jit(lambda: lane_next_token_attention(
-        qq, k_self, v_self, kk, vv, qs, ks, kv, window=W, use_pallas=True))()
+    # Arrays go in as ARGUMENTS (closures bake them into the HLO as constants
+    # — at 4096-env shapes that overflows the remote-compile request body).
+    ref_n = jax.jit(lambda *a: _next_token_reference(*a, W, None))(
+        qq, k_self, v_self, kk, vv, qs, ks, kv
+    )
+    got_n = jax.jit(lambda *a: lane_next_token_attention(*a, window=W, use_pallas=True))(
+        qq, k_self, v_self, kk, vv, qs, ks, kv
+    )
     nerr = float(jnp.max(jnp.abs(got_n - ref_n)))
     emit(probe="next_token_fwd_max_abs_err", value=nerr, n=n_envs)
     assert nerr < 2e-2, nerr
 
     def bench_next(fn, iters=50):
         f = jax.jit(fn)
-        jax.block_until_ready(f())
+        args = (qq, k_self, v_self, kk, vv, qs, ks, kv)
+        jax.block_until_ready(f(*args))
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = f()
+            out = f(*args)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters * 1e3
 
-    ms_ref_n = bench_next(lambda: _next_token_reference(qq, k_self, v_self, kk, vv, qs, ks, kv, W, None))
-    ms_lane_n = bench_next(lambda: lane_next_token_attention(
-        qq, k_self, v_self, kk, vv, qs, ks, kv, window=W, use_pallas=True))
+    ms_ref_n = bench_next(lambda *a: _next_token_reference(*a, W, None))
+    ms_lane_n = bench_next(lambda *a: lane_next_token_attention(*a, window=W, use_pallas=True))
     emit(probe="next_token_primal_4096_ms", xla_reference=round(ms_ref_n, 3),
          lane_kernel=round(ms_lane_n, 3))
 

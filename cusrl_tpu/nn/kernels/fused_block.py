@@ -985,10 +985,10 @@ _pair_post_op.defvjp(_pair_post_op_fwd, _pair_post_op_bwd)
 # tile; at 1024 rows its scoped-VMEM stack sits within ~0.2 MB of the 16 MB
 # limit, and whether it fits depends on the surrounding program's layout
 # choices (it first OOM'd — by 180 KB — when the deferred-sequential value
-# pass joined the fused iteration).  512 leaves ~50% slack; the global
-# TFBLOCK=512 A/B measured only -0.7 ms/iter and only a share of that is the
-# pair post.  Override with CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS.
-_PAIR_POST_BLOCK = int(os.environ.get("CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS", 0)) or min(_DEFAULT_BLOCK, 512)
+# pass joined the fused iteration).  768 (~12 MB stack) keeps ~25% slack and
+# measured FASTER than 512 on the transformer bench (1.782M vs 1.775M
+# steps/s).  Override with CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS.
+_PAIR_POST_BLOCK = int(os.environ.get("CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS", 0)) or min(_DEFAULT_BLOCK, 768)
 
 
 def fused_block_pair_post(attna, attnc, ha, hc, params_a, params_c, activation="gelu", *,
