@@ -583,10 +583,11 @@ def fused_block_pre(
                 wrap_mesh, x, w_in, b_in, ln1_scale, ln1_bias, w_qkv, b_qkv,
                 block_rows, interpret, bool(skip_input_grad),
             )
-    return _pre_op(
-        x, w_in, b_in, ln1_scale, ln1_bias, w_qkv, b_qkv,
-        bool(use_pallas), block_rows, interpret, bool(skip_input_grad),
-    )
+    with jax.named_scope("block_pre"):
+        return _pre_op(
+            x, w_in, b_in, ln1_scale, ln1_bias, w_qkv, b_qkv,
+            bool(use_pallas), block_rows, interpret, bool(skip_input_grad),
+        )
 
 
 def fused_block_post(
@@ -615,10 +616,11 @@ def fused_block_post(
                 wrap_mesh, attn, h, w_o, b_o, ln2_scale, ln2_bias, w_up, b_up, w_down, b_down,
                 activation, block_rows, interpret,
             )
-    return _post_op(
-        attn, h, w_o, b_o, ln2_scale, ln2_bias, w_up, b_up, w_down, b_down,
-        activation, bool(use_pallas), block_rows, interpret,
-    )
+    with jax.named_scope("block_post"):
+        return _post_op(
+            attn, h, w_o, b_o, ln2_scale, ln2_bias, w_up, b_up, w_down, b_down,
+            activation, bool(use_pallas), block_rows, interpret,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -796,8 +798,9 @@ def fused_block_pair_pre(xa, xc, params_a, params_c, *, use_pallas=None, block_r
     block_rows = block_rows or _DEFAULT_BLOCK
     if use_pallas and kernel_mesh_status(xa.shape[0]) != (True, None):
         use_pallas = False
-    return _pair_pre_op(xa, xc, tuple(params_a), tuple(params_c),
-                        bool(use_pallas), block_rows, interpret, bool(skip_input_grad))
+    with jax.named_scope("pair_pre"):
+        return _pair_pre_op(xa, xc, tuple(params_a), tuple(params_c),
+                            bool(use_pallas), block_rows, interpret, bool(skip_input_grad))
 
 
 def _pair_post_fwd_kernel(activation, save, attna_ref, attnc_ref, ha_ref, hc_ref, *refs):
@@ -1004,5 +1007,6 @@ def fused_block_pair_post(attna, attnc, ha, hc, params_a, params_c, activation="
     block_rows = block_rows or _PAIR_POST_BLOCK
     if use_pallas and kernel_mesh_status(attna.shape[0]) != (True, None):
         use_pallas = False
-    return _pair_post_op(attna, attnc, ha, hc, tuple(params_a), tuple(params_c),
-                         activation, bool(use_pallas), block_rows, interpret)
+    with jax.named_scope("pair_post"):
+        return _pair_post_op(attna, attnc, ha, hc, tuple(params_a), tuple(params_c),
+                             activation, bool(use_pallas), block_rows, interpret)

@@ -809,10 +809,11 @@ def fused_mlp_pair(
                 wrap_mesh, xa, xc, weights_a, biases_a, weights_c, biases_c,
                 activation, trailing, block_rows, block_rows_bwd, interpret, bool(skip_input_grad),
             )
-    return _pair_op(
-        xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
-        activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret, bool(skip_input_grad),
-    )
+    with jax.named_scope("mlp_pair"):
+        return _pair_op(
+            xa, xc, tuple(weights_a), tuple(biases_a), tuple(weights_c), tuple(biases_c),
+            activation, trailing, bool(use_pallas), block_rows, block_rows_bwd, interpret, bool(skip_input_grad),
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -410,7 +410,11 @@ def lane_next_token_attention(
     if lane_block is None:
         import os
 
-        lane_block = int(os.environ.get("CUSRL_TPU_LANE_BLOCK", 128))
+        # Forward-only and carrying no saved-weights tensor, this kernel fits
+        # larger env blocks than the grad-path lane kernel; its own knob
+        # (CUSRL_TPU_NEXT_LANE_BLOCK) falls back to the shared one.
+        env = os.environ.get("CUSRL_TPU_NEXT_LANE_BLOCK") or os.environ.get("CUSRL_TPU_LANE_BLOCK")
+        lane_block = int(env) if env else (256 if q.shape[2] <= 32 else 128)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     q_seg = q_seg.astype(jnp.int32)
@@ -438,19 +442,20 @@ def lane_next_token_attention(
     kernel = functools.partial(_next_fwd_kernel, window=window, scale=scale, slopes=slopes_t)
     t_spec = pl.BlockSpec((1, dim, t8, lane_block), lambda i, h: (h, 0, 0, i))
     s_spec = pl.BlockSpec((1, dim, s8, lane_block), lambda i, h: (h, 0, 0, i))
-    out_em = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            t_spec, t_spec, t_spec, s_spec, s_spec,
-            pl.BlockSpec((t8, lane_block), lambda i, h: (0, i)),
-            pl.BlockSpec((s8, lane_block), lambda i, h: (0, i)),
-            pl.BlockSpec((s8, lane_block), lambda i, h: (0, i)),
-        ],
-        out_specs=[t_spec],
-        out_shape=[jax.ShapeDtypeStruct((heads, dim, t8, n_pad), jnp.float32)],
-        interpret=jax.default_backend() != "tpu",
-    )(q_em, ks_em, vs_em, k_em, v_em, q_seg_em, k_seg_em, k_valid_em)[0]
+    with jax.named_scope("lane_next_token"):
+        out_em = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                t_spec, t_spec, t_spec, s_spec, s_spec,
+                pl.BlockSpec((t8, lane_block), lambda i, h: (0, i)),
+                pl.BlockSpec((s8, lane_block), lambda i, h: (0, i)),
+                pl.BlockSpec((s8, lane_block), lambda i, h: (0, i)),
+            ],
+            out_specs=[t_spec],
+            out_shape=[jax.ShapeDtypeStruct((heads, dim, t8, n_pad), jnp.float32)],
+            interpret=jax.default_backend() != "tpu",
+        )(q_em, ks_em, vs_em, k_em, v_em, q_seg_em, k_seg_em, k_valid_em)[0]
     return jnp.transpose(out_em, (3, 0, 2, 1))[:n, :, :t_len]  # [N, H, T, D]
 
 
@@ -517,7 +522,11 @@ def lane_window_attention(
 
         # Env-block sweep knob: instances process ``lane_block`` envs each
         # (128-lane multiples); larger blocks mean fewer pipeline ramps.
-        lane_block = int(os.environ.get("CUSRL_TPU_LANE_BLOCK", 128))
+        # 256 measured +0.9% on the transformer bench at T=24 (1.798M vs
+        # 1.782M steps/s, fwd AND bwd in-program); T>=64 shapes OOM the 16 MB
+        # scoped VMEM at 256 (round-5 sweep) so the default stays 128 there.
+        env = os.environ.get("CUSRL_TPU_LANE_BLOCK")
+        lane_block = int(env) if env else (256 if q.shape[2] <= 32 else 128)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     q_seg = q_seg.astype(jnp.int32)
@@ -531,5 +540,6 @@ def lane_window_attention(
     q_em, k_em, v_em, q_seg_em, k_seg_em, k_valid_em, _, _, _ = _to_lane_layout(
         q, k, v, q_seg, k_seg, k_valid, window, lane_block
     )
-    out_em = _lane_em_op(q_em, k_em, v_em, q_seg_em, k_seg_em, k_valid_em, window, slopes_t, lane_block)
+    with jax.named_scope("lane_attn"):
+        out_em = _lane_em_op(q_em, k_em, v_em, q_seg_em, k_seg_em, k_valid_em, window, slopes_t, lane_block)
     return jnp.transpose(out_em, (3, 0, 2, 1))[:n, :, :t_len]  # [N, H, T, D]
