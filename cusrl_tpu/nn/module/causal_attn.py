@@ -342,6 +342,24 @@ class CausalMultiheadSelfAttention(Module):
         Same mask/cache semantics as ``_sequence_kernel`` (which projects
         internally); kernel choice is lane for short T, banded otherwise.
         """
+        import os
+
+        # Default OFF: the env-minor shortcut measured 1.767M vs 1.798M
+        # steps/s on the transformer bench — the generic path's two-hop
+        # transposes fuse into XLA's neighbors while the em path's own
+        # pads/cache-transposes and materialized fp32 output transpose do not
+        # (the same verdict as the round-4 CUSRL_TPU_LANE_EM experiment).
+        # Kept as an equality-tested option (tests/test_attention.py).
+        em_mode = os.environ.get("CUSRL_TPU_SEQCORE_EM", "0").lower()
+        if (
+            not collect_ctx
+            and t_len <= 64
+            and self.mha.q_norm is None
+            and em_mode not in ("0", "")
+            and (em_mode == "force" or jax.default_backend() == "tpu")
+        ):
+            return self._sequence_core_em(qkv_flat, memory, done, t_len, batch)
+
         window = self.window
         heads = self.mha.num_heads
         head_dim = self.input_dim // heads
@@ -387,6 +405,93 @@ class CausalMultiheadSelfAttention(Module):
         new_memory = self._final_memory(k_raw, v_all, k_valid, k_seg, seg, done2, memory)
         if collect_ctx:
             return merged_flat, new_memory, (k_rot, v_all, k_valid, k_seg, q_seg)
+        return merged_flat, new_memory
+
+    def _sequence_core_em(self, qkv_flat, memory, done, t_len: int, batch: int):
+        """Env-minor attention middle for the fused-block path.
+
+        The generic ``sequence_core`` hops ``[T·N, 3E] -> [N, H, T, D]`` per
+        component and then the lane wrapper transposes AGAIN to the kernel's
+        ``[H, D, T, N]`` layout (plus the inverse pair on the output) — pure
+        layout copies that traced at ~2.5 ms/iter across the update's 20
+        minibatch steps at the bench shapes.  This path does ONE transpose per
+        component into env-minor, runs RoPE/cache/masks there (the
+        ``_sequence_lane_em`` machinery), and one transpose back on the merged
+        output.  Same math as the generic path (equality-tested in
+        tests/test_attention.py)."""
+        from cusrl_tpu.nn.kernels.lane_attention import _lane_em_op, _round_up
+
+        window = self.window
+        heads = self.mha.num_heads
+        embed = self.input_dim
+        head_dim = embed // heads
+
+        qkv5 = qkv_flat.reshape(t_len, batch, 3, heads, head_dim)
+        q_em = jnp.transpose(qkv5[:, :, 0], (2, 3, 0, 1))  # [H, D, T, B]
+        k_seq = jnp.transpose(qkv5[:, :, 1], (2, 3, 0, 1))
+        v_seq = jnp.transpose(qkv5[:, :, 2], (2, 3, 0, 1))
+
+        k_cache, v_cache, cache_mask = self._unrolled_cache(memory)  # [B, H, W, D]
+        kc_em = jnp.transpose(k_cache, (1, 3, 2, 0))  # [H, D, W, B]
+        vc_em = jnp.transpose(v_cache, (1, 3, 2, 0))
+        promo = jnp.promote_types(kc_em.dtype, k_seq.dtype)
+        k_raw = jnp.concatenate([kc_em.astype(promo), k_seq.astype(promo)], axis=2)  # [H, D, S, B]
+        v_all = jnp.concatenate([vc_em.astype(promo), v_seq.astype(promo)], axis=2)
+
+        q_pos = window + jnp.arange(t_len)
+        kv_pos = jnp.arange(window + t_len)
+        q_em = self._rope_em(q_em, q_pos)
+        k_rot = self._rope_em(k_raw, kv_pos)
+
+        done2, seg = self._segments(done, t_len, batch)  # seg [T, B]
+        t8 = _round_up(t_len, 8)
+        s8 = window + t8
+        s_len = window + t_len
+        import os
+
+        env_block = os.environ.get("CUSRL_TPU_LANE_BLOCK")
+        lane_block = int(env_block) if env_block else (256 if t_len <= 32 else 128)
+        b_pad = _round_up(batch, lane_block)
+
+        def pad_em(a, time_to):
+            return jnp.pad(a, ((0, 0), (0, 0), (0, time_to - a.shape[2]), (0, b_pad - batch)))
+
+        q_seg_em = jnp.pad(seg.astype(jnp.int32), ((0, t8 - t_len), (0, b_pad - batch)), constant_values=-2)
+        k_seg_full = jnp.concatenate([jnp.zeros((window, batch), jnp.int32), seg], axis=0)  # [S, B]
+        k_seg_em = jnp.pad(k_seg_full, ((0, s8 - s_len), (0, b_pad - batch)), constant_values=-1)
+        k_valid_full = jnp.concatenate(
+            [(jnp.swapaxes(cache_mask, 0, 1) > 0.5).astype(jnp.int32), jnp.ones((t_len, batch), jnp.int32)],
+            axis=0,
+        )
+        k_valid_em = jnp.pad(k_valid_full, ((0, s8 - s_len), (0, b_pad - batch)))
+
+        slopes = alibi_slopes(heads) if self.use_alibi else None
+        slopes_t = None if slopes is None else tuple(float(s) for s in jax.device_get(slopes))
+        with jax.named_scope("lane_attn_em"):
+            out_em = _lane_em_op(
+                pad_em(q_em, t8), pad_em(k_rot, s8), pad_em(v_all, s8),
+                q_seg_em, k_seg_em, k_valid_em, window, slopes_t, lane_block,
+            )  # [H, D, T8, Bp] fp32
+
+        # (H, D) flatten == the head-major feature order of mha._merge; rows
+        # come out (t-major, env-minor) == swapaxes(.., 0, 1).reshape(rows, E).
+        merged_flat = out_em[:, :, :t_len, :batch].reshape(embed, t_len * batch).T
+
+        slots = self._ring_slots
+        k_tail = jnp.transpose(k_raw[:, :, -slots:], (3, 0, 2, 1))  # [B, H, P, D]
+        v_tail = jnp.transpose(v_all[:, :, -slots:], (3, 0, 2, 1))
+        k_valid_nt = jnp.swapaxes(k_valid_full, 0, 1)  # [B, S]
+        k_seg_nt = jnp.swapaxes(k_seg_full, 0, 1)
+        final_seg = seg[-1] + done2[-1].astype(jnp.int32)
+        final_valid = (k_valid_nt > 0) & (k_seg_nt == final_seg[:, None])
+        new_memory = {
+            "k_cache": jax.lax.stop_gradient(k_tail.astype(memory["k_cache"].dtype)),
+            "v_cache": jax.lax.stop_gradient(v_tail.astype(memory["v_cache"].dtype)),
+            "cache_mask": jax.lax.stop_gradient(
+                final_valid[:, -slots:].astype(memory["cache_mask"].dtype)
+            ),
+            "cursor": jnp.broadcast_to(jnp.zeros((), jnp.int32), memory["cursor"].shape),
+        }
         return merged_flat, new_memory
 
     def _rope_em(self, x_em, positions):

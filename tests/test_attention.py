@@ -164,3 +164,61 @@ def test_rope_by_age_equals_window_offset_positions():
     np.testing.assert_allclose(
         np.asarray(out_offset, np.float32), np.asarray(out_ring, np.float32), atol=1e-4, rtol=1e-4
     )
+
+
+def test_sequence_core_em_matches_generic(monkeypatch):
+    """The env-minor fused-block attention middle (ONE transpose per q/k/v
+    component) must equal the generic [N, H, T, D] path bit-for-tolerance:
+    outputs, and the ring-form final memory (compared unrolled/masked)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cusrl_tpu.nn.base import reset_memory
+    from cusrl_tpu.nn.module.causal_attn import CausalTransformerEncoderLayerFactory
+
+    for use_alibi, use_rope in ((False, True), (True, False)):
+        layer = CausalTransformerEncoderLayerFactory(
+            embed_dim=16, num_heads=2, window=4, use_alibi=use_alibi,
+            use_rope=use_rope, compute_dtype="bfloat16",
+        )(8, None, jax.random.key(0))
+        attn = layer.attention
+        T, N = 10, 5
+        keys = jax.random.split(jax.random.key(1), 4)
+        qkv_flat = jax.random.normal(keys[0], (T * N, 3 * 16), jnp.bfloat16)
+        done = jax.random.bernoulli(keys[1], 0.25, (T, N, 1))
+
+        memory = attn.init_memory(N)
+        warm = jax.random.normal(keys[2], (3, N, 16), jnp.float32)
+        warm_done = jax.random.bernoulli(keys[3], 0.3, (3, N, 1))
+        for t in range(3):
+            _, memory = attn._step(warm[t], memory)
+            memory = reset_memory(memory, warm_done[t])
+
+        monkeypatch.setenv("CUSRL_TPU_SEQCORE_EM", "0")
+        ref_out, ref_mem = attn.sequence_core(qkv_flat, memory, done, T, N)
+        monkeypatch.setenv("CUSRL_TPU_SEQCORE_EM", "force")
+        em_out, em_mem = attn.sequence_core(qkv_flat, memory, done, T, N)
+
+        np.testing.assert_allclose(
+            np.asarray(em_out), np.asarray(ref_out), atol=2e-3, rtol=1e-2
+        )
+        ka, va, ma = attn._unrolled_cache(ref_mem)
+        kb, vb, mb = attn._unrolled_cache(em_mem)
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), atol=1e-6)
+        m = np.asarray(ma, np.float32)[:, None, :, None]
+        np.testing.assert_allclose(
+            np.asarray(ka, np.float32) * m, np.asarray(kb, np.float32) * m, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(va, np.float32) * m, np.asarray(vb, np.float32) * m, atol=2e-3
+        )
+
+        def loss(flat, mode):
+            monkeypatch.setenv("CUSRL_TPU_SEQCORE_EM", mode)
+            out, _ = attn.sequence_core(flat, memory, done, T, N)
+            return jnp.sum(jnp.sin(out))
+
+        g_ref = jax.grad(lambda f: loss(f, "0"))(qkv_flat.astype(jnp.float32))
+        g_em = jax.grad(lambda f: loss(f, "force"))(qkv_flat.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(g_em), np.asarray(g_ref), atol=5e-3, rtol=2e-2)
