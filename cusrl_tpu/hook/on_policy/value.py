@@ -86,6 +86,12 @@ class ValueComputation(Hook):
                 raise ValueError(
                     "deferred='sequential' requires a critic supporting next-token evaluation"
                 )
+            if hook.deferred == "sequential" and getattr(agent.sampler, "requires_per_step_memory", False):
+                raise ValueError(
+                    "deferred='sequential' records no per-step critic_memory snapshots, which "
+                    "this sampler (requires_per_step_memory) needs for BPTT from arbitrary "
+                    "offsets — use the per-step path (deferred=False)"
+                )
             hook = hook.replace(memory=agent.critic.init_memory(agent.parallelism))
         elif hook.deferred == "sequential":
             hook = hook.replace(deferred=True)  # feedforward: batched deferral is strictly simpler

@@ -991,7 +991,10 @@ _pair_post_op.defvjp(_pair_post_op_fwd, _pair_post_op_bwd)
 # pass joined the fused iteration).  768 (~12 MB stack) keeps ~25% slack and
 # measured FASTER than 512 on the transformer bench (1.782M vs 1.775M
 # steps/s).  Override with CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS.
-_PAIR_POST_BLOCK = int(os.environ.get("CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS", 0)) or min(_DEFAULT_BLOCK, 768)
+def _pair_post_block() -> int:
+    # Read per call (not at import) so sweep scripts/tests can override after
+    # the module loads, matching the other knobs' lifetimes.
+    return int(os.environ.get("CUSRL_TPU_TFBLOCK_PAIR_POST_ROWS", 0)) or min(_DEFAULT_BLOCK, 768)
 
 
 def fused_block_pair_post(attna, attnc, ha, hc, params_a, params_c, activation="gelu", *,
@@ -1004,7 +1007,7 @@ def fused_block_pair_post(attna, attnc, ha, hc, params_a, params_c, activation="
                 _post_reference(attnc, hc, *params_c, activation))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    block_rows = block_rows or _PAIR_POST_BLOCK
+    block_rows = block_rows or _pair_post_block()
     if use_pallas and kernel_mesh_status(attna.shape[0]) != (True, None):
         use_pallas = False
     with jax.named_scope("pair_post"):

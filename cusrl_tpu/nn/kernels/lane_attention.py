@@ -414,7 +414,7 @@ def lane_next_token_attention(
         # larger env blocks than the grad-path lane kernel; its own knob
         # (CUSRL_TPU_NEXT_LANE_BLOCK) falls back to the shared one.
         env = os.environ.get("CUSRL_TPU_NEXT_LANE_BLOCK") or os.environ.get("CUSRL_TPU_LANE_BLOCK")
-        lane_block = int(env) if env else (256 if q.shape[2] <= 32 else 128)
+        lane_block = int(env) if env else (256 if q.shape[2] <= 32 and window <= 32 else 128)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     q_seg = q_seg.astype(jnp.int32)
@@ -526,7 +526,7 @@ def lane_window_attention(
         # 1.782M steps/s, fwd AND bwd in-program); T>=64 shapes OOM the 16 MB
         # scoped VMEM at 256 (round-5 sweep) so the default stays 128 there.
         env = os.environ.get("CUSRL_TPU_LANE_BLOCK")
-        lane_block = int(env) if env else (256 if q.shape[2] <= 32 else 128)
+        lane_block = int(env) if env else (256 if q.shape[2] <= 32 and window <= 32 else 128)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     q_seg = q_seg.astype(jnp.int32)

@@ -450,7 +450,7 @@ class CausalMultiheadSelfAttention(Module):
         import os
 
         env_block = os.environ.get("CUSRL_TPU_LANE_BLOCK")
-        lane_block = int(env_block) if env_block else (256 if t_len <= 32 else 128)
+        lane_block = int(env_block) if env_block else (256 if t_len <= 32 and window <= 32 else 128)
         b_pad = _round_up(batch, lane_block)
 
         def pad_em(a, time_to):
@@ -700,8 +700,9 @@ class CausalMultiheadSelfAttention(Module):
         single-step path writes before attending).  Same segment/validity
         masking as the sequence paths; fp32 softmax with the self logit folded
         into the normalizer.  ``q``/``k_self_rot`` are RoPE'd at positions
-        ``W + t`` (relative rotations then match the stepwise ring's
-        age-derived positions).  Returns ``[N, H, T, D]`` fp32 (merge-ready).
+        ``W + t + 1`` — one AFTER x[t], so x[t] sits at relative distance 1
+        and the self key at 0, matching the stepwise ring's age-derived
+        rotations.  Returns ``[N, H, T, D]`` fp32 (merge-ready).
         """
         from cusrl_tpu.nn.kernels.lane_attention import lane_next_token_attention
 

@@ -195,3 +195,67 @@ def test_deferred_auto_selection():
         assert next(h for h in tf.state.hooks if isinstance(h, ValueComputation)).deferred is False
     finally:
         del os.environ["CUSRL_TPU_DEFERRED_SEQ"]
+
+
+def test_eval_next_token_fused_route_matches_modular(monkeypatch):
+    """The FUSED branch of sequential_with_ctx/eval_next_token (pre/post
+    Pallas kernels in interpret mode + lane ctx) must match the modular route
+    — covers the head-split/RoPE-position plumbing the CPU suite otherwise
+    never exercises (the fused path only engages on TPU)."""
+    layer = CausalTransformerEncoderLayerFactory(
+        embed_dim=16, num_heads=2, window=4, compute_dtype="bfloat16",
+    )(8, None, jax.random.key(0))
+
+    T, N = 8, 4
+    keys = jax.random.split(jax.random.key(3), 3)
+    x = jax.random.normal(keys[0], (T, N, 8), jnp.float32)
+    y = jax.random.normal(keys[1], (T, N, 8), jnp.float32)
+    done = jax.random.bernoulli(keys[2], 0.25, (T, N, 1))
+    memory = layer.init_memory(N)
+
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "0")
+    ref_out, _, ref_ctx = layer.sequential_with_ctx(x, memory, done)
+    ref_boot = layer.eval_next_token(y, ref_ctx)
+
+    monkeypatch.setenv("CUSRL_TPU_FUSED_TRANSFORMER", "force")
+    assert layer._fused_eligible(x, True)
+    fused_out, _, fused_ctx = layer.sequential_with_ctx(x, memory, done)
+    fused_boot = layer.eval_next_token(y, fused_ctx)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_out, np.float32), np.asarray(ref_out, np.float32), atol=5e-2, rtol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_boot, np.float32), np.asarray(ref_boot, np.float32), atol=5e-2, rtol=5e-2
+    )
+
+
+def test_explicit_sequential_with_per_step_sampler_raises():
+    """deferred='sequential' records no per-step critic memory; explicit use
+    with a requires_per_step_memory sampler must be rejected at init."""
+    from cusrl_tpu.nn.module.actor import ActorFactory
+    from cusrl_tpu.nn.module.critic import ValueFactory
+    from cusrl_tpu.nn.module.distribution import NormalDistFactory
+    from cusrl_tpu.preset.optimizer import AdamFactory
+    from cusrl_tpu.preset.ppo import ppo_hook_suite
+    from cusrl_tpu.sampler.random_sampler import TemporalRandomSampler
+    from cusrl_tpu.template.actor_critic import ActorCriticFactory
+    from tests.helpers import create_dummy_env
+
+    env = create_dummy_env(num_instances=4)
+    backbone = CausalTransformerEncoderLayerFactory(embed_dim=16, num_heads=2, window=4)
+    hooks = []
+    for hook in ppo_hook_suite():
+        if isinstance(hook, ValueComputation):
+            hook = hook.replace(deferred="sequential")
+        hooks.append(hook)
+    factory = ActorCriticFactory(
+        num_steps_per_update=8,
+        actor_factory=ActorFactory(backbone_factory=backbone, distribution_factory=NormalDistFactory()),
+        critic_factory=ValueFactory(backbone_factory=backbone),
+        optimizer_factory=AdamFactory(lr=1e-3),
+        sampler=TemporalRandomSampler(num_batches=1, batch_size=4, sequence_len=4),
+        hooks=hooks,
+    )
+    with pytest.raises(ValueError, match="per-step"):
+        factory(env.spec)
