@@ -834,20 +834,30 @@ class CausalTransformerEncoderLayer(Module):
     def init_memory(self, batch_size, dtype=None) -> Memory:
         return self.attention.init_memory(batch_size, dtype)
 
-    def _block(self, h, memory, *, sequential, done):
+    def _chain(self, h, attend):
+        """The residual/gate/norm skeleton shared by every route (stepwise,
+        sequence, ctx-collecting, counterfactual-append): ``attend`` maps the
+        (possibly norm1'd) attention input to ``(attn_out, extra)``.  ONE
+        source of truth for the norm-mode orderings — the deferred-sequential
+        exact-equality contract depends on all routes sharing it."""
         if self.norm_mode == "pre":
-            attn_out, new_memory, _ = self.attention(self.norm1(h), memory, sequential=sequential, done=done)
-            h = self.gate1(h, attn_out)
-            h = self.gate2(h, self.feed_forward(self.norm2(h)))
+            attn_out, extra = attend(self.norm1(h))
+            out = self.gate1(h, attn_out)
+            out = self.gate2(out, self.feed_forward(self.norm2(out)))
         elif self.norm_mode == "post":
-            attn_out, new_memory, _ = self.attention(h, memory, sequential=sequential, done=done)
-            h = self.norm1(self.gate1(h, attn_out))
-            h = self.norm2(self.gate2(h, self.feed_forward(h)))
+            attn_out, extra = attend(h)
+            out = self.norm1(self.gate1(h, attn_out))
+            out = self.norm2(self.gate2(out, self.feed_forward(out)))
         else:
-            attn_out, new_memory, _ = self.attention(h, memory, sequential=sequential, done=done)
-            h = self.gate1(h, attn_out)
-            h = self.gate2(h, self.feed_forward(h))
-        return h, new_memory
+            attn_out, extra = attend(h)
+            out = self.gate1(h, attn_out)
+            out = self.gate2(out, self.feed_forward(out))
+        return out, extra
+
+    def _block(self, h, memory, *, sequential, done):
+        return self._chain(
+            h, lambda a: self.attention(a, memory, sequential=sequential, done=done)[:2]
+        )
 
     def _fused_block_mode(self) -> str:
         """CUSRL_TPU_FUSED_TRANSFORMER: 1 (auto, default) engages the fused-block
@@ -1031,22 +1041,15 @@ class CausalTransformerEncoderLayer(Module):
             )
             return out.reshape(t_len, batch, -1), new_memory, ctx
         h = self.input_proj(x) if self.input_proj is not None else x
-        attn = self.attention
-        if self.norm_mode == "pre":
-            attn_out, new_memory, aux = attn(
-                self.norm1(h), memory, sequential=True, done=done, collect_next_ctx=True
+
+        def attend(a):
+            out, new_memory, aux = self.attention(
+                a, memory, sequential=True, done=done, collect_next_ctx=True
             )
-            out = self.gate1(h, attn_out)
-            out = self.gate2(out, self.feed_forward(self.norm2(out)))
-        elif self.norm_mode == "post":
-            attn_out, new_memory, aux = attn(h, memory, sequential=True, done=done, collect_next_ctx=True)
-            out = self.norm1(self.gate1(h, attn_out))
-            out = self.norm2(self.gate2(out, self.feed_forward(out)))
-        else:
-            attn_out, new_memory, aux = attn(h, memory, sequential=True, done=done, collect_next_ctx=True)
-            out = self.gate1(h, attn_out)
-            out = self.gate2(out, self.feed_forward(out))
-        return out, new_memory, aux.pop("next_ctx")
+            return out, (new_memory, aux.pop("next_ctx"))
+
+        out, (new_memory, ctx) = self._chain(h, attend)
+        return out, new_memory, ctx
 
     def eval_next_token(self, y, ctx):
         attn = self.attention
@@ -1083,20 +1086,14 @@ class CausalTransformerEncoderLayer(Module):
             )
             return out.reshape(t_len, batch, -1)
         h = self.input_proj(y) if self.input_proj is not None else y
-        attn_in = self.norm1(h) if self.norm_mode == "pre" else h
-        q, k_self, v_self = mha.project_qkv_raw(jnp.swapaxes(attn_in, 0, 1), q_positions=q_pos)
-        k_self_rot = mha.rope_k(k_self, q_pos)
-        out_heads = attn.eval_next_core(q, k_self_rot, v_self, ctx)
-        attn_out = jnp.swapaxes(mha.merge_output(out_heads), 0, 1)  # [T, N, E]
-        if self.norm_mode == "pre":
-            out = self.gate1(h, attn_out)
-            out = self.gate2(out, self.feed_forward(self.norm2(out)))
-        elif self.norm_mode == "post":
-            out = self.norm1(self.gate1(h, attn_out))
-            out = self.norm2(self.gate2(out, self.feed_forward(out)))
-        else:
-            out = self.gate1(h, attn_out)
-            out = self.gate2(out, self.feed_forward(out))
+
+        def attend(a):
+            q, k_self, v_self = mha.project_qkv_raw(jnp.swapaxes(a, 0, 1), q_positions=q_pos)
+            k_self_rot = mha.rope_k(k_self, q_pos)
+            out_heads = attn.eval_next_core(q, k_self_rot, v_self, ctx)
+            return jnp.swapaxes(mha.merge_output(out_heads), 0, 1), None  # [T, N, E]
+
+        out, _ = self._chain(h, attend)
         return out
 
 
